@@ -1,0 +1,129 @@
+"""E2E replay vs exact-state oracle + exactly-once + resume (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from tinyetl_ray.pipelines import cdc
+from tinyetl_ray.state import manifest as mf
+from tinyetl_ray.synth import make_base, make_changes
+
+from .util import assert_frames_equal, sequential_lww
+
+
+@pytest.fixture()
+def small_log(tmp_path):
+    base = make_base(n_convs=40, seed=7)
+    epochs = make_changes(
+        n_events=4000, n_convs=40, seed=11, n_epochs=3, evolve_from_epoch=2
+    )
+    epoch_files = []
+    for e, t in enumerate(epochs):
+        p = tmp_path / f"changes/epoch={e}.parquet"
+        os.makedirs(p.parent, exist_ok=True)
+        pq.write_table(t, p)
+        epoch_files.append([str(p)])
+    return base, epochs, epoch_files
+
+
+def test_replay_matches_sequential_oracle(small_log):
+    base, epochs, _ = small_log
+    changes = pa.concat_tables(epochs, promote_options="default")
+    got = cdc.replay(
+        ray.data.from_arrow(changes), ray.data.from_arrow(base), num_partitions=16
+    ).to_pandas()
+    want = sequential_lww(changes, base)
+    assert_frames_equal(got, want)
+    # schema evolution: merged table carries `model`, null for pre-evolution winners
+    assert "model" in got.columns
+    assert got["model"].isna().any() and got["model"].notna().any()
+
+
+def test_replay_without_base(small_log):
+    _, epochs, _ = small_log
+    changes = pa.concat_tables(epochs, promote_options="default")
+    got = cdc.replay(ray.data.from_arrow(changes), num_partitions=8).to_pandas()
+    want = sequential_lww(changes)
+    assert_frames_equal(got, want)
+
+
+def test_commit_resume_exactly_once(small_log, tmp_path):
+    base, epochs, epoch_files = small_log
+    root = str(tmp_path / "table")
+
+    # epoch 0 only
+    commits = cdc.replay_commit(root, epoch_files[:1], num_partitions=8)
+    assert len(commits) == 1 and commits[0]["epoch"] == 0
+    wm0 = commits[0]["watermark"]
+
+    # re-apply epoch 0 → skipped (already committed), state unchanged
+    again = cdc.replay_commit(root, epoch_files[:1], num_partitions=8)
+    assert again == []
+    assert mf.latest_commit(root)["watermark"] == wm0
+
+    # resume with all epochs → applies 1, 2 only
+    commits = cdc.replay_commit(root, epoch_files, num_partitions=8)
+    assert [c["epoch"] for c in commits] == [1, 2]
+
+    got = cdc.read_table(root).to_pandas()
+    want = sequential_lww(pa.concat_tables(epochs, promote_options="default"))
+    assert_frames_equal(got, want)
+
+    # incremental result == one-shot full replay into a fresh table
+    root2 = str(tmp_path / "table2")
+    cdc.replay_commit(root2, [sum(epoch_files, [])], num_partitions=8)
+    got2 = cdc.read_table(root2).to_pandas()
+    assert_frames_equal(got2, want)
+
+
+def test_commit_is_idempotent_on_rerun(small_log, tmp_path):
+    """Simulated failure-between-write-and-commit: wipe the commit record,
+    keep snapshot files, re-run the epoch → identical content hashes."""
+    _, _, epoch_files = small_log
+    root = str(tmp_path / "table")
+    c1 = cdc.replay_commit(root, epoch_files[:1], num_partitions=8)[0]
+    # crash before commit published: remove _commits, snapshots remain
+    for f in os.listdir(os.path.join(root, mf.COMMITS_DIR)):
+        os.remove(os.path.join(root, mf.COMMITS_DIR, f))
+    c2 = cdc.replay_commit(root, epoch_files[:1], num_partitions=8)[0]
+    h1 = {m["partition"]: m["content_hash"] for m in c1["partitions"]}
+    h2 = {m["partition"]: m["content_hash"] for m in c2["partitions"]}
+    assert h1 == h2
+
+
+def test_lineage_and_metrics(small_log, tmp_path):
+    _, _, epoch_files = small_log
+    root = str(tmp_path / "table")
+    cdc.replay_commit(root, epoch_files, num_partitions=8)
+    lineage = mf.list_commits(root)
+    assert [c["epoch"] for c in lineage] == [0, 1, 2]
+    for c in lineage:
+        assert c["watermark"] >= 0
+        for m in c["partitions"]:
+            assert {"rows", "tombstones", "live_rows", "lsn_watermark", "content_hash"} <= set(m)
+        assert "epoch_secs" in c["stats"]
+
+
+def test_malformed_events_raise_or_drop():
+    bad = pa.table(
+        {
+            "lsn": pa.array([1, None], pa.int64()),
+            "op": ["upsert", "bogus"],
+            "conv_id": ["a", "b"],
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": ["user", "user"],
+            "text": ["x", "y"],
+            "tool": [None, None],
+            "ts": pa.array([100, 100], pa.timestamp("us")),
+        }
+    )
+    with pytest.raises(Exception):
+        cdc.replay(ray.data.from_arrow(bad), num_partitions=2).materialize()
+    ok = cdc.replay(ray.data.from_arrow(bad), num_partitions=2, on_error="drop").to_pandas()
+    assert len(ok) == 1 and ok.iloc[0]["conv_id"] == "a"

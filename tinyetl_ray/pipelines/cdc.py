@@ -1,0 +1,241 @@
+"""The flagship pipeline: change-log replay → LWW-merged transcript table.
+
+Ray-Data-first restructuring of TinyETL's 10-step sequential transfer engine
+(/root/reference/src/transfer.rs:23-199 — read batch, validate, transform,
+write, one batch at a time, zero parallelism). Here every stage is a lazy
+``Dataset`` transform executed by the streaming executor with backpressure:
+
+    read_parquet(changes)                         # step 9's read, distributed
+      └─ map_batches(DecodeValidate)              # steps 2+9 validate (vectorized)
+      └─ map_batches(PreReduce)                   # combiner: collapse churn pre-shuffle
+      └─ map_batches(AddPartitionId)              # salted hash routing
+      └─ groupby(partition_id).map_groups(merge)  # THE shuffle + final LWW
+      └─ [write per-partition COW snapshot + manifest]   # exactly-once commit
+
+Two entry points:
+- ``replay``          — pure Dataset→Dataset (used by queries()/oracle checks)
+- ``replay_commit``   — full epoch loop with COW snapshots, commit manifests,
+                        LSN watermarks and checkpoint resume (the product)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data
+
+from ..schema import CHANGE_SCHEMA, align_to, evolve, evolve_all
+from ..stages.decode import DecodeValidate
+from ..stages.merge import PreReduce, finalize_payload, lww_reduce
+from ..stages.partition import DEFAULT_TURN_BLOCK, PARTITION_COL, AddPartitionId
+from ..state import manifest as mf
+
+BASE_LSN = -1  # base-table rows replay as upserts that any real event beats on lsn
+
+
+def base_as_changes(batch: pa.Table, change_schema: pa.Schema) -> pa.Table:
+    """Lift base transcript rows into the change shape (op=upsert, lsn=-1).
+
+    LWW then treats base state uniformly: a change with ts >= base ts wins;
+    an older-ts change loses to the base row — exactly the semantics of
+    merging against current table state, with no special-case join.
+    """
+    n = len(batch)
+    t = batch.add_column(0, pa.field("lsn", pa.int64()), pa.array([BASE_LSN] * n, pa.int64()))
+    t = t.add_column(1, pa.field("op", pa.string()), pa.array(["upsert"] * n, pa.string()))
+    return align_to(t, change_schema)
+
+
+def union_change_schema(
+    change_ds: ray.data.Dataset, extra: list[pa.Schema] | None = None
+) -> pa.Schema:
+    """Evolved (additive-union) change schema across epochs + prior state.
+
+    CAVEAT: ``Dataset.schema()`` on a multi-file parquet read reflects only the
+    sampled fragment — it can miss columns that appear in later (evolved)
+    files. File-based entry points must union the parquet FOOTER schemas
+    instead (see ``file_union_schema``); this helper is for in-memory
+    datasets whose schema is exact.
+    """
+    schemas = [CHANGE_SCHEMA, pa.schema(change_ds.schema().base_schema)]
+    for s in extra or []:
+        schemas.append(s)
+    return evolve_all(schemas)
+
+
+def file_union_schema(files: list[str], extra: list[pa.Schema] | None = None) -> pa.Schema:
+    """Additive union over parquet footer schemas (cheap metadata reads).
+
+    At 10^10-event scale, footers of every change file would instead be
+    summarized once in the change-log's own manifest; reading P footers on
+    the driver is the sandbox-scale equivalent.
+    """
+    return evolve_all([CHANGE_SCHEMA] + [pq.read_schema(f) for f in files] + (extra or []))
+
+
+def replay(
+    changes: ray.data.Dataset,
+    base: ray.data.Dataset | None = None,
+    *,
+    num_partitions: int = 64,
+    turn_block: int = DEFAULT_TURN_BLOCK,
+    on_error: str = "raise",
+    keep_partition_col: bool = False,
+    change_schema: pa.Schema | None = None,
+) -> ray.data.Dataset:
+    """Replay a change log (optionally over a base table) → merged transcript.
+
+    Streaming end to end: the only materialization is the groupby shuffle.
+    """
+    schema = change_schema or union_change_schema(changes)
+    ds = changes.map_batches(DecodeValidate(schema, on_error=on_error), batch_format="pyarrow")
+    ds = ds.map_batches(PreReduce(), batch_format="pyarrow")
+    if base is not None:
+        b = base.map_batches(
+            lambda t, s=schema: base_as_changes(t, s), batch_format="pyarrow"
+        )
+        ds = ds.union(b)
+    ds = ds.map_batches(AddPartitionId(num_partitions, turn_block), batch_format="pyarrow")
+
+    def _merge(group: pa.Table) -> pa.Table:
+        out = finalize_payload(lww_reduce(group, keep_deletes=False), drop_cols=("lsn", "op"))
+        return out if keep_partition_col else out.drop_columns([PARTITION_COL])
+
+    return ds.groupby(PARTITION_COL).map_groups(_merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Committed, resumable replay (COW snapshots + manifests + watermarks)
+# ---------------------------------------------------------------------------
+
+
+def read_table(table_root: str) -> ray.data.Dataset:
+    """Public view of the committed table: latest snapshots, tombstones
+    filtered, payload projected, stable (conv_id, turn_idx) order within
+    partitions (each snapshot was written key-sorted)."""
+    commit = mf.latest_commit(table_root)
+    if commit is None:
+        raise FileNotFoundError(f"no committed epoch under {table_root}")
+    files = mf.snapshot_files(table_root, commit)
+    if not files:
+        return ray.data.from_arrow(pa.table({}))
+    ds = ray.data.read_parquet(files)
+    schema = mf.schema_from_b64(commit["schema_b64"]) if "schema_b64" in commit else None
+
+    def _view(t: pa.Table, s: pa.Schema | None = schema) -> pa.Table:
+        if s is not None:
+            t = align_to(t, s)  # older snapshots backfill evolved columns as null
+        return t.filter(pc.equal(t.column("op"), "upsert")).drop_columns(["lsn", "op"])
+
+    return ds.map_batches(_view, batch_format="pyarrow")
+
+
+def replay_commit(
+    table_root: str,
+    epoch_files: list[list[str]],
+    *,
+    base_files: list[str] | None = None,
+    num_partitions: int = 64,
+    turn_block: int = DEFAULT_TURN_BLOCK,
+    on_error: str = "raise",
+) -> list[dict[str, Any]]:
+    """Apply change epochs to the committed table at ``table_root``.
+
+    ``epoch_files[e]`` = parquet files of epoch e (global epoch numbering —
+    the checkpoint resumes by SKIPPING epochs already committed, and inside an
+    epoch re-application is idempotent: snapshots rewrite identically and
+    events with lsn <= the partition watermark are filtered).
+
+    ``base_files``: optional initial transcript table (the "table before the
+    binlog tail started"). Applied only when bootstrapping (no prior commit):
+    its rows enter epoch 0's merge as lsn=-1 upserts, so any real change
+    event beats them on (ts, lsn) exactly like merging against live state.
+
+    Per epoch:
+      1. evolved schema = union(current table schema, epoch schema)
+      2. decode + watermark filter + combiner + salted partition routing
+      3. union with prior snapshots (as ordinary change rows)
+      4. per-partition LWW merge task writes `parts/part-K/epoch-E.parquet`
+         atomically and returns a manifest row (per-partition lineage+metrics)
+      5. driver publishes the epoch commit (atomic rename) — exactly-once
+
+    Returns the list of commit records (one per newly applied epoch).
+    """
+    commits: list[dict[str, Any]] = []
+    for epoch, files in enumerate(epoch_files):
+        prev = mf.latest_commit(table_root)
+        if prev is not None and prev["epoch"] >= epoch:
+            continue  # checkpoint resume: epoch already committed
+        t0 = time.perf_counter()
+        changes = ray.data.read_parquet(files)
+        extra: list[pa.Schema] = []
+        prev_files: list[str] = []
+        if prev is not None:
+            prev_files = mf.snapshot_files(table_root, prev)
+            if "schema_b64" in prev:
+                extra.append(mf.schema_from_b64(prev["schema_b64"]))
+            elif prev_files:
+                extra.append(pq.read_schema(prev_files[0]))
+        bootstrap_base = base_files if prev is None else None
+        if bootstrap_base:
+            for bf in bootstrap_base:
+                s = pq.read_schema(bf)
+                extra.append(
+                    pa.schema([f for f in s if f.name not in ("lsn", "op")])
+                )
+        schema = file_union_schema(files, extra)
+        wm = mf.partition_watermarks(prev)
+
+        ds = changes.map_batches(DecodeValidate(schema, on_error=on_error), batch_format="pyarrow")
+        if wm:
+            min_wm = min(wm.values())
+            ds = ds.map_batches(
+                lambda t, w=min_wm: t.filter(pc.greater(t.column("lsn"), w)),
+                batch_format="pyarrow",
+            )
+        ds = ds.map_batches(PreReduce(), batch_format="pyarrow")
+        if prev_files:
+            state = ray.data.read_parquet(prev_files).map_batches(
+                lambda t, s=schema: align_to(t, s), batch_format="pyarrow"
+            )
+            ds = ds.union(state)
+        if bootstrap_base:
+            b = ray.data.read_parquet(bootstrap_base).map_batches(
+                lambda t, s=schema: base_as_changes(t, s), batch_format="pyarrow"
+            )
+            ds = ds.union(b)
+        ds = ds.map_batches(AddPartitionId(num_partitions, turn_block), batch_format="pyarrow")
+
+        def _merge_write(
+            group: pa.Table, root: str = table_root, ep: int = epoch
+        ) -> pa.Table:
+            # Events already applied in a prior commit may still be present
+            # (between the global min watermark and this partition's own):
+            # re-reducing them with the state rows that already embody them is
+            # a no-op under LWW, so no per-partition filter is needed for
+            # correctness — idempotence does the work.
+            pid = int(group.column(PARTITION_COL)[0].as_py())
+            merged = lww_reduce(group.drop_columns([PARTITION_COL]), keep_deletes=True)
+            merged = finalize_payload(merged, drop_cols=())
+            man = mf.write_snapshot(root, pid, ep, merged)
+            return pa.table({k: [man[k]] for k in man})
+
+        man_rows = ds.groupby(PARTITION_COL).map_groups(_merge_write, batch_format="pyarrow")
+        manifests = man_rows.take_all()  # tiny: one row per partition
+        # partitions with no events this epoch keep their prior snapshot by
+        # carrying the old manifest forward (no rewrite)
+        seen = {m["partition"] for m in manifests}
+        if prev is not None:
+            for m in prev["partitions"]:
+                if m["partition"] not in seen:
+                    manifests.append(m)
+        stats = {
+            "epoch_secs": round(time.perf_counter() - t0, 3),
+            "partitions_written": len(seen),
+        }
+        commits.append(mf.commit_epoch(table_root, epoch, manifests, stats, schema=schema))
+    return commits

@@ -1,0 +1,183 @@
+"""Copy-on-write table layout, idempotent commit manifests, LSN watermarks.
+
+The distributed generalization of TinyETL's finalize/truncate semantics
+(/root/reference/src/transfer.rs:92-118, src/connectors/parquet.rs:456-513 —
+buffer everything, write one file, no append): here every partition writes an
+immutable Parquet snapshot per epoch, and an epoch becomes visible only when
+the driver atomically publishes a commit file naming every partition
+manifest. Re-running an epoch rewrites byte-identical snapshots (merge output
+is deterministically sorted) and re-publishes the same commit — exactly-once
+via idempotence, not coordination.
+
+Layout (table_root/):
+    parts/part-00017/epoch-000003.parquet   # LWW winners incl. delete tombstones
+    _commits/epoch-000003.json              # per-partition manifests + watermarks
+    _commits/LATEST                         # name of newest committed epoch (atomic rename)
+
+Partition snapshots keep the full change shape (lsn, op, payload): ``op``
+rows with 'delete' are tombstones that must survive so a late, older-ts
+upsert in a later epoch still loses; ``lsn``/``ts`` are the LWW order. The
+public table view filters tombstones and projects the payload.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+COMMITS_DIR = "_commits"
+PARTS_DIR = "parts"
+LATEST = "LATEST"
+
+
+def part_dir(root: str, pid: int) -> str:
+    return os.path.join(root, PARTS_DIR, f"part-{pid:05d}")
+
+
+def snapshot_path(root: str, pid: int, epoch: int) -> str:
+    return os.path.join(part_dir(root, pid), f"epoch-{epoch:06d}.parquet")
+
+
+def _atomic_write_bytes(path: str, data: bytes) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".tmp-")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, path)  # atomic on POSIX
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+
+def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str, Any]:
+    """Write one partition's epoch snapshot atomically; return its manifest.
+
+    Runs INSIDE a merge task (distributed side-effect write); a retried task
+    simply re-runs write-then-rename with identical content.
+    """
+    path = snapshot_path(root, pid, epoch)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".tmp-", suffix=".parquet")
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+    lsns = table.column("lsn").to_numpy() if len(table) else []
+    content_hash = hashlib.sha256()
+    # fingerprint over the sorted (key-hash, turn, lsn) stream — vectorized,
+    # deterministic, no string reprs of big columns
+    content_hash.update(str(len(table)).encode())
+    if len(table):
+        from ..hashing import hash_strings
+
+        content_hash.update(hash_strings(table.column("conv_id")).tobytes())
+        content_hash.update(table.column("turn_idx").to_numpy().tobytes())
+        content_hash.update(table.column("lsn").to_numpy().tobytes())
+    ops = table.column("op") if "op" in table.column_names else None
+    n_del = 0
+    if ops is not None and len(table):
+        import pyarrow.compute as pc
+
+        n_del = pc.sum(pc.cast(pc.equal(ops, "delete"), pa.int64())).as_py() or 0
+    return {
+        "partition": pid,
+        "epoch": epoch,
+        "file": os.path.relpath(path, root),
+        "rows": len(table),
+        "tombstones": int(n_del),
+        "live_rows": len(table) - int(n_del),
+        "lsn_watermark": int(max(lsns)) if len(table) else -1,
+        "content_hash": content_hash.hexdigest(),
+    }
+
+
+def schema_to_b64(schema: pa.Schema) -> str:
+    import base64
+
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def schema_from_b64(s: str) -> pa.Schema:
+    import base64
+
+    import pyarrow.ipc as ipc
+
+    return ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+def commit_epoch(
+    root: str,
+    epoch: int,
+    manifests: list[dict[str, Any]],
+    stats: dict[str, Any] | None = None,
+    schema: pa.Schema | None = None,
+) -> dict[str, Any]:
+    """Driver-side atomic publish: the epoch exists once LATEST points at it.
+
+    ``schema`` is the evolved change schema at this epoch — stored in the
+    commit so readers can align older, narrower snapshots (additive schema
+    evolution) without probing every snapshot footer.
+    """
+    commit = {
+        "epoch": epoch,
+        "watermark": max((m["lsn_watermark"] for m in manifests), default=-1),
+        "partitions": sorted(manifests, key=lambda m: m["partition"]),
+        "stats": stats or {},
+    }
+    if schema is not None:
+        commit["schema_b64"] = schema_to_b64(schema)
+    cpath = os.path.join(root, COMMITS_DIR, f"epoch-{epoch:06d}.json")
+    _atomic_write_bytes(cpath, json.dumps(commit, indent=1).encode())
+    _atomic_write_bytes(os.path.join(root, COMMITS_DIR, LATEST), f"epoch-{epoch:06d}".encode())
+    return commit
+
+
+def latest_commit(root: str) -> dict[str, Any] | None:
+    lpath = os.path.join(root, COMMITS_DIR, LATEST)
+    if not os.path.exists(lpath):
+        return None
+    with open(lpath) as f:
+        name = f.read().strip()
+    with open(os.path.join(root, COMMITS_DIR, f"{name}.json")) as f:
+        return json.load(f)
+
+
+def list_commits(root: str) -> list[dict[str, Any]]:
+    """Full lineage: every committed epoch with its per-partition manifests."""
+    cdir = os.path.join(root, COMMITS_DIR)
+    if not os.path.isdir(cdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(cdir)):
+        if name.startswith("epoch-") and name.endswith(".json"):
+            with open(os.path.join(cdir, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def snapshot_files(root: str, commit: dict[str, Any]) -> list[str]:
+    return [os.path.join(root, m["file"]) for m in commit["partitions"] if m["rows"] > 0]
+
+
+def partition_watermarks(commit: dict[str, Any] | None) -> dict[int, int]:
+    if not commit:
+        return {}
+    return {m["partition"]: m["lsn_watermark"] for m in commit["partitions"]}
