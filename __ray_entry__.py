@@ -157,18 +157,51 @@ def q_cdc_events_per_conv(sf_dir: str) -> ray.data.Dataset:
 # ---------------------------------------------------------------------------
 
 
+def _round_cols(ds: ray.data.Dataset, cols: dict[str, int]) -> ray.data.Dataset:
+    """Round float aggregate columns identically to the oracle's ROUND() so
+    order-of-accumulation noise can't break value-hash equality."""
+
+    def r(t: pa.Table) -> pa.Table:
+        for c, nd in cols.items():
+            t = t.set_column(
+                t.column_names.index(c), c, pc.round(t.column(c), ndigits=nd)
+            )
+        return t
+
+    return ds.map_batches(r, batch_format="pyarrow")
+
+
 def entry() -> Any:
     """Flagship pipeline on sf0.001: committed evolved replay + table read."""
     return q_cdc_replay_evolved("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from tinyetl_ray.pipelines import parity as p
+
     return {
+        # --- CDC engine (the north star) ---
         "cdc_decode": q_cdc_decode,
         "cdc_replay": q_cdc_replay,
         "cdc_replay_evolved": q_cdc_replay_evolved,
         "cdc_replay_resume": q_cdc_replay_resume,
         "cdc_events_per_conv": q_cdc_events_per_conv,
+        # --- TinyETL operator parity ---
+        "transform_derive": p.transform_derive,
+        "transform_filter": p.transform_filter,
+        "transform_project": p.transform_project,
+        "schema_validate": p.schema_validate,
+        "csv_roundtrip": p.csv_roundtrip,
+        "json_roundtrip": p.json_roundtrip,
+        "preview": p.preview,
+        "append_union": p.append_union,
+        # --- wide operations ---
+        "agg_orders_by_status": lambda sf: _round_cols(
+            p.agg_orders_by_status(sf), {"sum_price": 2, "avg_price": 4}
+        ),
+        "join_orders_customer": lambda sf: _round_cols(
+            p.join_orders_customer(sf), {"revenue": 2}
+        ),
     }
 
 
@@ -188,5 +221,45 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    SUM(CASE WHEN op = 'upsert' THEN 1 ELSE 0 END) AS n_upserts
             FROM ch GROUP BY conv_id
+        """,
+        "transform_derive": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                   upper(c_name) AS name_upper,
+                   c_acctbal * 12 AS acctbal_annual,
+                   c_mktsegment || ':' || CAST(c_nationkey AS VARCHAR) AS segment_tag
+            FROM customer
+        """,
+        "transform_filter": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority,
+                   o_totalprice / 1000 AS price_k
+            FROM orders
+            WHERE o_totalprice > 150000 AND o_orderstatus = 'O'
+        """,
+        "transform_project": "SELECT l_orderkey, l_quantity, l_extendedprice FROM lineitem",
+        "schema_validate": """
+            SELECT p_partkey, p_name, CAST(p_size AS BIGINT) AS p_size
+            FROM part
+            WHERE regexp_full_match(p_name, '[a-z ]+')
+              AND p_partkey IS NOT NULL AND p_size IS NOT NULL
+        """,
+        "csv_roundtrip": "SELECT * FROM customer",
+        "json_roundtrip": "SELECT * FROM supplier",
+        "preview": """
+            SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+            ORDER BY l_orderkey, l_linenumber LIMIT 20
+        """,
+        "append_union": "SELECT * FROM orders",
+        "agg_orders_by_status": """
+            SELECT o_orderstatus, COUNT(*) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price,
+                   ROUND(AVG(o_totalprice), 4) AS avg_price
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "join_orders_customer": """
+            SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+                   ROUND(SUM(o.o_totalprice), 2) AS revenue
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
         """,
     }

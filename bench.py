@@ -1,0 +1,208 @@
+"""Benchmark harness: headline CDC replay throughput + scaling evidence.
+
+Usage:
+    python bench.py               # one JSON line, num_cpus=$RAY_GRAFT_CPUS (32)
+    python bench.py --scaling     # same job at num_cpus=8 and 32 in fresh
+                                  # processes; reports throughputs + efficiency
+
+Input: $GRAFT_SF_DIR (default /root/testdata/sf0.1). The change log is
+derived from the events table (same pure arithmetic the oracle checks) and
+AMPLIFIED x{AMPLIFY} inside map_batches with lsn strides — deterministic,
+streaming, no driver-side materialization. The headline pipeline is the
+committed copy-on-write replay (decode → combiner → salted partition
+shuffle → per-partition LWW merge → atomic snapshot + manifest commit).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+AMPLIFY = int(os.environ.get("TINYETL_BENCH_AMPLIFY", "20"))
+WIDE_MULT = int(os.environ.get("TINYETL_BENCH_WIDE_MULT", "160"))
+LSN_STRIDE = 100_000_000
+NUM_PARTITIONS = 64  # fixed across parallelism levels (SURVEY.md §4.3)
+WIDE_CHUNKS = 64  # input files ≥ max parallelism so the read never caps the pool
+
+
+def _amplified_changes(sf_dir: str):
+    import pyarrow as pa
+    import ray.data
+
+    from tinyetl_ray.synth import derive_changes_batch
+
+    def amp(batch: pa.Table) -> pa.Table:
+        out = []
+        for i in range(AMPLIFY):
+            t = batch
+            eid = t.column("event_id")
+            import pyarrow.compute as pc
+
+            t = t.set_column(
+                t.column_names.index("event_id"),
+                "event_id",
+                pc.add(eid, i * LSN_STRIDE),
+            )
+            ts = t.column("ts").cast(pa.int64())
+            t = t.set_column(
+                t.column_names.index("ts"),
+                "ts",
+                pc.add(ts, i * 1_000_000).cast(pa.timestamp("us")),
+            )
+            out.append(derive_changes_batch(t))
+        return pa.concat_tables(out)
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet")).map_batches(
+        amp, batch_format="pyarrow"
+    )
+
+
+def run_once(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from tinyetl_ray.pipelines import cdc
+
+    # warm the FULL worker pool before timing (worker spawn is session cost,
+    # not pipeline cost) and the page cache
+    ray.data.range(
+        100_000, override_num_blocks=num_cpus * 2
+    ).map_batches(lambda b: b).count()
+    n_events_base = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet")).count()
+    n_events_churn = n_events_base * AMPLIFY
+    n_events = n_events_base * WIDE_MULT
+
+    queries: dict[str, float] = {}
+
+    # --- wide-key change log: ~n_events/10 conversations (the shape a
+    # 10^10-event lake tail actually has) — deterministic, cached on disk so
+    # the 8-cpu and 32-cpu scaling runs replay the IDENTICAL input
+    wide_dir = os.path.join(
+        tempfile.gettempdir(), f"tinyetl-widelog-{os.path.basename(sf_dir)}-{n_events}"
+    )
+    if not os.path.isdir(wide_dir):
+        from tinyetl_ray.synth import make_changes
+
+        os.makedirs(wide_dir + ".tmp", exist_ok=True)
+        import pyarrow.parquet as pq
+
+        for i, t in enumerate(
+            make_changes(
+                n_events=n_events,
+                n_convs=max(1000, n_events // 10),
+                max_turn=20,
+                seed=1234,
+                n_epochs=WIDE_CHUNKS,
+            )
+        ):
+            pq.write_table(t, os.path.join(wide_dir + ".tmp", f"chunk-{i:03d}.parquet"))
+        os.replace(wide_dir + ".tmp", wide_dir)
+    wide_files = sorted(glob.glob(os.path.join(wide_dir, "*.parquet")))
+
+    # --- headline: committed COW replay of the wide-key log -------------
+    work = tempfile.mkdtemp(prefix="tinyetl-bench-")
+    try:
+        t0 = time.perf_counter()
+        cdc.replay_commit(
+            os.path.join(work, "table"), [wide_files], num_partitions=NUM_PARTITIONS
+        )
+        headline = time.perf_counter() - t0
+        queries["cdc_replay_commit_wide"] = round(headline, 3)
+
+        t0 = time.perf_counter()
+        n_final = cdc.read_table(os.path.join(work, "table")).count()
+        queries["read_table"] = round(time.perf_counter() - t0, 3)
+
+        # --- churn profile: events-table-derived log, ~7k hot keys ------
+        changes_dir = os.path.join(work, "changes")
+        t0 = time.perf_counter()
+        _amplified_changes(sf_dir).write_parquet(changes_dir)
+        queries["derive_write_log"] = round(time.perf_counter() - t0, 3)
+        files = sorted(glob.glob(os.path.join(changes_dir, "*.parquet")))
+        t0 = time.perf_counter()
+        cdc.replay_commit(
+            os.path.join(work, "table2"), [files], num_partitions=NUM_PARTITIONS
+        )
+        queries["cdc_replay_commit_churn"] = round(time.perf_counter() - t0, 3)
+        queries["churn_events_per_sec"] = round(
+            n_events_churn / queries["cdc_replay_commit_churn"]
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    # --- secondary: pure in-stream replay (no sink) --------------------
+    t0 = time.perf_counter()
+    cdc.replay(_amplified_changes(sf_dir), num_partitions=NUM_PARTITIONS).count()
+    queries["cdc_replay_stream"] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "cdc_replay_commit_wide_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_change_events": n_events,
+        "events_per_sec": round(n_events / headline),
+        "final_rows": n_final,
+        "num_partitions": NUM_PARTITIONS,
+    }
+
+
+def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = sub(lo), sub(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": sf_dir,
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"events_per_sec_{lo}": r_lo["events_per_sec"],
+        f"events_per_sec_{hi}": r_hi["events_per_sec"],
+        "n_change_events": r_lo["n_change_events"],
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(sf_dir)))
+    else:
+        ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+        result = run_once(sf_dir, ncpu)
+        import ray
+
+        ray.shutdown()
+        print(json.dumps(result))

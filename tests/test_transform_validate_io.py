@@ -1,0 +1,155 @@
+"""TinyETL parity: transform engine, schema validator, IO dispatch, sniffing.
+
+Models the reference's test matrix: transformer semantics
+(src/transformer.rs:510-1508), schema validation (src/schema.rs:148-244 and
+test_schema/ fixtures), CSV column-order round trip (src/connectors/csv.rs:630-686),
+type sniffing (csv.rs:82-111).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from tinyetl_ray.sources.io import SniffTypes, read_any, sniffed_read_csv, write_any
+from tinyetl_ray.stages.transform import (
+    ExpressionTransform,
+    FunctionTransform,
+    parse_assignments,
+    project,
+)
+from tinyetl_ray.stages.validate import ColumnSpec, SchemaValidator
+
+
+def employees_df():
+    # FIXTURES.md B3 shape (examples/13_yaml_config/employees.csv)
+    return pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "first_name": ["Ada", "Alan", "Grace"],
+            "last_name": ["Lovelace", "Turing", "Hopper"],
+            "monthly_salary": [9000.0, 8000.5, 9500.25],
+            "active": [True, False, True],
+        }
+    )
+
+
+def test_parse_assignments():
+    assert parse_assignments("a = 1; b = a + 2") == [("a", "1"), ("b", "a + 2")]
+    with pytest.raises(ValueError):
+        parse_assignments("not an assignment!")
+
+
+def test_inline_transform_add_override_and_chain():
+    # README:855-860 derived-column example: full_name, annual_salary
+    t = ExpressionTransform(
+        "full_name = concat(first_name, ' ', last_name);"
+        "annual_salary = monthly_salary * 12;"
+        "annual_k = annual_salary / 1000"
+    )
+    out = t(employees_df())
+    assert list(out["full_name"]) == ["Ada Lovelace", "Alan Turing", "Grace Hopper"]
+    assert out["annual_salary"].tolist() == [108000.0, 96006.0, 114003.0]
+    # all input columns preserved (inline mode copies the row first)
+    assert "monthly_salary" in out.columns
+    # chained: later expression sees earlier result
+    assert out["annual_k"].round(3).tolist() == [108.0, 96.006, 114.003]
+
+
+def test_transform_filter_drops_rows():
+    t = ExpressionTransform("flag = active", filter_expr="monthly_salary > 8500")
+    out = t(employees_df())
+    assert out["id"].tolist() == [1, 3]
+
+
+def test_function_transform_projection():
+    ft = FunctionTransform(project(["id", "first_name"]))
+    out = ft(employees_df())
+    assert list(out.columns) == ["id", "first_name"]
+
+
+def test_expression_sandbox_blocks_builtins():
+    t = ExpressionTransform("x = __import__('os').getpid()")
+    with pytest.raises(Exception):
+        t(employees_df())
+
+
+def test_validator_defaults_pattern_required():
+    # FIXTURES.md B4 semantics: defaults injected, patterns enforced
+    specs = [
+        ColumnSpec("id", "integer", nullable=False),
+        ColumnSpec("name", "string", pattern=r"[A-Za-z\s]+"),
+        ColumnSpec("age", "integer", nullable=True, default=25),
+    ]
+    good = pa.table(
+        {
+            "id": ["1", "2"],
+            "name": ["Ada Lovelace", "Alan Turing"],
+            "age": [None, "41"],
+        }
+    )
+    out = SchemaValidator(specs)(good)
+    assert out.column("id").type == pa.int64()
+    assert out.column("age").to_pylist() == [25, 41]
+
+    bad_name = pa.table({"id": ["1"], "name": ["R2D2"], "age": ["5"]})
+    with pytest.raises(ValueError):
+        SchemaValidator(specs)(bad_name)
+    dropped = SchemaValidator(specs, on_error="drop")(bad_name)
+    assert len(dropped) == 0
+
+    missing_required = pa.table({"name": ["Ada"], "age": ["1"]})
+    with pytest.raises(ValueError):
+        SchemaValidator(specs)(missing_required)
+
+
+def test_sniff_types_matrix():
+    # FIXTURES.md B5 torture shapes (reference csv.rs:82-111 + date formats)
+    df = pd.DataFrame(
+        {
+            "ints": ["1", "-2", "3"],
+            "decs": ["1.5", "2.25", "-0.5"],
+            "bools": ["true", "False", "TRUE"],
+            "iso_dates": ["2023-12-25", "2024-01-01", "2022-06-30"],
+            "datetimes": ["2023-12-25 10:30:00", "2023-01-01 00:00:00", "2023-05-05 05:05:05"],
+            "mixed": ["1", "x", "2.5"],
+            "empties": ["", "a", ""],
+        }
+    )
+    out = SniffTypes()(df)
+    assert str(out["ints"].dtype) == "Int64"
+    assert out["decs"].dtype == np.float64
+    assert str(out["bools"].dtype) == "boolean"
+    assert str(out["iso_dates"].dtype).startswith("datetime64")
+    assert str(out["datetimes"].dtype).startswith("datetime64")
+    assert out["mixed"].dtype == object  # mixed stays string (schema.rs:520-543)
+    assert out["empties"].isna().tolist() == [True, False, True]  # "" → null
+
+
+def test_io_roundtrip_and_column_order(tmp_path):
+    # column-order preservation through csv round trip (csv.rs:630-686)
+    df = pd.DataFrame({"one": [1, 2], "two": ["a", "b"], "three": ["x", "y"]})
+    src = tmp_path / "t.csv"
+    df.to_csv(src, index=False)
+    ds = read_any(str(src))
+    assert ds.schema().names == ["one", "two", "three"]
+    out_dir = tmp_path / "out_parquet"
+    write_any(ds, str(out_dir), fmt="parquet")
+    back = ray.data.read_parquet(str(out_dir)).to_pandas()
+    assert sorted(back["one"].tolist()) == [1, 2]
+    with pytest.raises(ValueError):
+        read_any("/nope/file.xyz")
+
+
+def test_sniffed_read_csv(tmp_path):
+    p = tmp_path / "typed.csv"
+    pd.DataFrame(
+        {"id": ["1", "2"], "price": ["1.5", "2.5"], "when": ["2023-12-25", "2024-01-01"], "note": ["a", "b"]}
+    ).to_csv(p, index=False)
+    out = sniffed_read_csv(str(p)).to_pandas()
+    assert str(out["id"].dtype) in ("Int64", "int64")
+    assert out["price"].dtype == np.float64
+    assert str(out["when"].dtype).startswith("datetime64")

@@ -1,0 +1,176 @@
+"""TinyETL-parity pipelines over the driver's TPC-H-ish tables.
+
+Each function takes ``sf_dir`` and returns a Dataset whose DuckDB oracle
+lives in __ray_entry__.oracle_sql(). These exercise the operator surface the
+reference exposes (transform / validate / IO round-trip / preview / append)
+plus the wide-operation patterns the reference lacks but a real engine needs
+(pre-aggregated groupby, broadcast join).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+
+from ..sources.io import sniffed_read_csv, write_any
+from ..stages.transform import ExpressionTransform
+from ..stages.validate import ColumnSpec, SchemaValidator
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=columns
+    )
+
+
+def transform_derive(sf_dir: str) -> ray.data.Dataset:
+    """Inline-expression transform (Lua inline-mode parity): derived columns
+    over customer — reference README:855-860 employees example shape."""
+    t = ExpressionTransform(
+        "name_upper = upper(c_name);"
+        "acctbal_annual = c_acctbal * 12;"
+        "segment_tag = concat(c_mktsegment, ':', c_nationkey)"
+    )
+    return _read(sf_dir, "customer").map_batches(t, batch_format="pandas")
+
+
+def transform_filter(sf_dir: str) -> ray.data.Dataset:
+    """Filter semantics (Lua nil-return parity) + derive."""
+    t = ExpressionTransform(
+        "price_k = o_totalprice / 1000",
+        filter_expr="(o_totalprice > 150000) & (o_orderstatus == 'O')",
+    )
+    return _read(sf_dir, "orders").map_batches(t, batch_format="pandas")
+
+
+def transform_project(sf_dir: str) -> ray.data.Dataset:
+    """Projection semantics (Lua file-mode: only returned keys kept) — via
+    column pruning AT THE READ, the scale-correct version."""
+    return _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_extendedprice"])
+
+
+def schema_validate(sf_dir: str) -> ray.data.Dataset:
+    """Declared-schema validation with pattern + drop (dead-letter) semantics
+    over part: keep only parts whose p_name matches an anchored word pattern
+    and whose p_size parses as integer."""
+    specs = [
+        ColumnSpec("p_partkey", "integer", nullable=False),
+        ColumnSpec("p_name", "string", pattern=r"[a-z ]+"),
+        ColumnSpec("p_size", "integer", nullable=False),
+    ]
+    v = SchemaValidator(specs, on_error="drop")
+
+    def to_strings(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_partkey": t.column("p_partkey").cast(pa.string()),
+                "p_name": t.column("p_name"),
+                "p_size": t.column("p_size").cast(pa.string()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_size"])
+        .map_batches(to_strings, batch_format="pyarrow")
+        .map_batches(v, batch_format="pyarrow")
+    )
+
+
+def csv_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """CSV target → sniffed CSV source round trip (reference CSV connector
+    pair, csv.rs:15-357): values survive with types re-sniffed."""
+    tmp = tempfile.mkdtemp(prefix="tinyetl-csv-")
+    out = os.path.join(tmp, "customer_csv")
+    write_any(_read(sf_dir, "customer"), out, fmt="csv")
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".csv")
+    )
+    ds = None
+    for f in files:
+        part = sniffed_read_csv(f)
+        ds = part if ds is None else ds.union(part)
+    return ds
+
+
+def json_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """JSON target → JSON source round trip (json.rs connector pair)."""
+    tmp = tempfile.mkdtemp(prefix="tinyetl-json-")
+    out = os.path.join(tmp, "supplier_json")
+    write_any(_read(sf_dir, "supplier"), out, fmt="json")
+    return ray.data.read_json(out)
+
+
+def preview(sf_dir: str) -> ray.data.Dataset:
+    """--preview N parity (transfer.rs:201-240) made deterministic: first 20
+    lineitems under (l_orderkey, l_linenumber) order."""
+    return (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+        .sort(["l_orderkey", "l_linenumber"])
+        .limit(20)
+    )
+
+
+def append_union(sf_dir: str) -> ray.data.Dataset:
+    """Append-mode parity (transfer.rs:92-118): two sources into one target
+    = Dataset.union, here re-splitting orders by status."""
+    open_o = _read(sf_dir, "orders").filter(
+        expr="o_orderstatus == 'O'"
+    )
+    rest = _read(sf_dir, "orders").filter(expr="o_orderstatus != 'O'")
+    return open_o.union(rest)
+
+
+def agg_orders_by_status(sf_dir: str) -> ray.data.Dataset:
+    """Grouped aggregate (Ray partial-agg shuffle): count + sum per status."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    return (
+        _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+        .groupby("o_orderstatus")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="sum_price"),
+            Mean("o_totalprice", alias_name="avg_price"),
+        )
+    )
+
+
+def join_orders_customer(sf_dir: str) -> ray.data.Dataset:
+    """Broadcast hash join: customer (small side) shipped once via ray.put,
+    looked up inside map_batches — no shuffle of the big side (ray_guide
+    'Joins and lookups'). Revenue per market segment."""
+    import numpy as np
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    class SegmentJoin:
+        def __init__(self):
+            self.lookup = ray.get(lookup_ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_numpy()
+            seg = np.array([self.lookup.get(k) for k in keys], dtype=object)
+            return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+
+    from ray.data.aggregate import Count, Sum
+
+    # Pool sizing: fractional num_cpus so the actor pool can NEVER reserve
+    # the whole session and starve the read/aggregate stages (observed
+    # deadlock with concurrency=4 × num_cpus=1 on a 4-CPU session).
+    return (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            SegmentJoin, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+        )
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+    )
