@@ -177,6 +177,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from tinyetl_ray.pipelines import corpus as c
     from tinyetl_ray.pipelines import parity as p
 
     return {
@@ -202,6 +203,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": lambda sf: _round_cols(
             p.join_orders_customer(sf), {"revenue": 2}
         ),
+        # --- training-data corpus ops ---
+        "text_stats": c.text_stats,
+        "token_count_by_lang": c.token_count_by_lang,
+        "doc_fingerprint": c.doc_fingerprint,
+        "lang_id": c.lang_id,  # rows-only (heuristic)
+        "dedup_exact": c.dedup_exact,
+        "dedup_minhash": c.dedup_minhash,  # rows-only (LSH clusters)
+        "dedup_simhash": c.dedup_simhash,  # rows-only (near-dup pairs)
+        "embedding_neardup": c.embedding_neardup,
+        "ann_topk": c.ann_topk,
+        "simsearch_ivf": c.simsearch_ivf,  # rows-only (approximate)
+        "multimodal_features": c.multimodal_features,  # rows-only (stub decode)
     }
 
 
@@ -262,4 +275,56 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
         """,
+        # --- corpus ops (shared definitions with tinyetl_ray.functions.text:
+        # PUNCT_CLASS and whitespace-run token counting kept in lockstep) ---
+        "text_stats": _TEXT_STATS_SQL,
+        "token_count_by_lang": r"""
+            SELECT lang,
+                   SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                       x -> x != ''))) AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "dedup_exact": """
+            SELECT doc_id, text, lang, source, n_chars FROM (
+              SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+              FROM documents
+            ) WHERE rn = 1
+        """,
+        "embedding_neardup": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) > 0.45
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+              ORDER BY vec_id LIMIT 5
+            ), s AS (
+              SELECT q.query_id, e.vec_id,
+                     ROUND(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                                  CAST(e.embedding AS DOUBLE[])), 6) AS sim
+              FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id, vec_id, sim FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+              FROM s
+            ) WHERE rn <= 10
+        """,
     }
+
+
+# n_punct counts chars in tinyetl_ray.functions.text.PUNCT_CLASS = [.,;:!?'"()-]
+_TEXT_STATS_SQL = r"""
+SELECT doc_id,
+       length(text) AS n_chars_computed,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x != '')) AS n_tokens,
+       length(text) - length(regexp_replace(text, '[.,;:!?''"()\-]', '', 'g')) AS n_punct,
+       CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()\-]', '', 'g')) AS DOUBLE)
+         / GREATEST(length(text), 1) AS punct_ratio
+FROM documents
+"""

