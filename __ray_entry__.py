@@ -196,6 +196,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "json_roundtrip": p.json_roundtrip,
         "preview": p.preview,
         "append_union": p.append_union,
+        "distinct_event_types": p.distinct_event_types,
+        "events_tumbling_window": lambda sf: _round_cols(
+            p.events_tumbling_window(sf), {"sum_value": 4}
+        ),
+        "events_sessionize": p.events_sessionize,
+        "sqlite_roundtrip": p.sqlite_roundtrip,
         # --- wide operations ---
         "agg_orders_by_status": lambda sf: _round_cols(
             p.agg_orders_by_status(sf), {"sum_price": 2, "avg_price": 4}
@@ -263,6 +269,36 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l_orderkey, l_linenumber LIMIT 20
         """,
         "append_union": "SELECT * FROM orders",
+        "distinct_event_types": """
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+        """,
+        "events_tumbling_window": """
+            SELECT user_id,
+                   make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+                     AS window_start,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                  > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+              SELECT *, SUM(brk) OVER (
+                PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+              FROM o
+            )
+            SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events
+            FROM s GROUP BY user_id, sess
+        """,
+        "sqlite_roundtrip": "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
         "agg_orders_by_status": """
             SELECT o_orderstatus, COUNT(*) AS n_orders,
                    ROUND(SUM(o_totalprice), 2) AS sum_price,

@@ -40,8 +40,14 @@ def exact_dedup(
     collision can never merge distinct texts."""
 
     def add_hash(t: pa.Table) -> pa.Table:
-        h = hash_strings(t.column(text_col))
-        return t.append_column("_h", pa.array(h.astype(np.int64)))
+        # pd.util.hash_array: vectorized siphash with a FIXED key —
+        # deterministic across processes, and O(total bytes) for long
+        # documents (hashing.hash_strings is built for SHORT keys: it sweeps
+        # one numpy pass per character position). A collision only co-groups
+        # two texts; in-group equality keeps the result exact.
+        s = t.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+        h = pd.util.hash_array(s).astype(np.int64)
+        return t.append_column("_h", pa.array(h))
 
     def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")

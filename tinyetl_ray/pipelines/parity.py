@@ -90,11 +90,7 @@ def csv_roundtrip(sf_dir: str) -> ray.data.Dataset:
     files = sorted(
         os.path.join(out, f) for f in os.listdir(out) if f.endswith(".csv")
     )
-    ds = None
-    for f in files:
-        part = sniffed_read_csv(f)
-        ds = part if ds is None else ds.union(part)
-    return ds
+    return sniffed_read_csv(files)
 
 
 def json_roundtrip(sf_dir: str) -> ray.data.Dataset:
@@ -123,6 +119,103 @@ def append_union(sf_dir: str) -> ray.data.Dataset:
     )
     rest = _read(sf_dir, "orders").filter(expr="o_orderstatus != 'O'")
     return open_o.union(rest)
+
+
+def distinct_event_types(sf_dir: str) -> ray.data.Dataset:
+    """DISTINCT parity (Dataset.unique is driver-side for one column; use the
+    shuffle-native groupby-count so the result stays a Dataset)."""
+    from ray.data.aggregate import Count
+
+    return (
+        _read(sf_dir, "events", columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def events_tumbling_window(sf_dir: str) -> ray.data.Dataset:
+    """Tumbling 1-hour event-time window per user: count + sum(value).
+
+    Ray Data has no native event-time windows (ray_guide 'Streaming-shaped
+    workloads'); the window id is just a derived grouping column —
+    floor(epoch_us / 3600e6) — so a windowed aggregate IS a groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_window(t: pa.Table) -> pa.Table:
+        us = t.column("ts").cast(pa.int64())
+        win = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
+        return t.append_column("window_start", win.cast(pa.timestamp("us")))
+
+    return (
+        _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+        .map_batches(add_window, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+
+def events_sessionize(sf_dir: str) -> ray.data.Dataset:
+    """Session windows (30-min inactivity gap) per user — the canonical
+    partition-by-key + in-group ordered scan: groupby(user).map_groups with a
+    pandas cumulative gap counter. Sessions are data-defined, so correctness
+    does not depend on Ray block order."""
+    import pandas as pd
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].astype("datetime64[us]").astype("int64")  # pin µs units
+        new_session = (ts.diff().fillna(GAP_US + 1) > GAP_US).cumsum()
+        out = g.groupby(new_session).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("ts", "size"),
+        )
+        return out.reset_index(drop=True)
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+    )
+
+
+def sqlite_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """SQLite connector parity (reference src/connectors/sqlite.rs): write
+    supplier into a sqlite table (chunked executemany ≈ its ≤900-bind-param
+    batching), read it back with ray.data.read_sql (partitioned queries)."""
+    import sqlite3
+    import tempfile
+
+    import ray.data
+
+    db = os.path.join(tempfile.mkdtemp(prefix="tinyetl-sqlite-"), "t.db")
+    rows = _read(sf_dir, "supplier").to_pandas()
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE IF NOT EXISTS supplier "
+            "(s_suppkey INTEGER, s_name TEXT, s_nationkey INTEGER, s_acctbal REAL)"
+        )
+        conn.executemany(
+            "INSERT INTO supplier VALUES (?,?,?,?)",
+            rows[["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]].itertuples(
+                index=False, name=None
+            ),
+        )
+        conn.commit()
+    ds = ray.data.read_sql(
+        "SELECT * FROM supplier", lambda: sqlite3.connect(db)
+    )
+    return ds.map_batches(
+        lambda t: t.set_column(
+            t.column_names.index("s_nationkey"),
+            "s_nationkey",
+            t.column("s_nationkey").cast(pa.int32()),
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def agg_orders_by_status(sf_dir: str) -> ray.data.Dataset:

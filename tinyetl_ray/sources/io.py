@@ -127,15 +127,20 @@ class SniffTypes:
         return pd.DataFrame(out)
 
 
-def sniffed_read_csv(path: str, **kwargs) -> ray.data.Dataset:
+def sniffed_read_csv(paths: str | list[str], **kwargs) -> ray.data.Dataset:
     """CSV read where every column arrives as string and the sniffer promotes
-    types — mirrors the reference CSV source's dynamic typing end to end."""
+    types — mirrors the reference CSV source's dynamic typing end to end.
+
+    Accepts one path or a list (e.g. a directory of part files from a
+    distributed CSV write) as ONE dataset — never union per-file datasets,
+    which multiplies per-operator driver overhead."""
     import csv as _csv
 
     from pyarrow import csv as pacsv
 
-    with open(path) as f:
+    first = paths[0] if isinstance(paths, list) else paths
+    with open(first) as f:
         header = next(_csv.reader(f))
     convert = pacsv.ConvertOptions(column_types={h: pa.string() for h in header})
-    ds = ray.data.read_csv(path, convert_options=convert, **kwargs)
+    ds = ray.data.read_csv(paths, convert_options=convert, **kwargs)
     return ds.map_batches(SniffTypes(), batch_format="pandas")
