@@ -1,0 +1,161 @@
+"""Compaction, CDC-out (changes_since), pinned partitioner, and the
+Hypothesis property: replay == sequential oracle for arbitrary event lists."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tinyetl_ray.pipelines import cdc
+from tinyetl_ray.schema import CHANGE_SCHEMA
+from tinyetl_ray.state import manifest as mf
+from tinyetl_ray.synth import make_changes
+
+from .util import assert_frames_equal, sequential_lww
+
+
+def _write_epochs(tmp_path, n_epochs=3, n_events=3000, **kw):
+    epochs = make_changes(n_events=n_events, n_convs=40, seed=13, n_epochs=n_epochs, **kw)
+    files = []
+    for e, t in enumerate(epochs):
+        p = tmp_path / f"e{e}.parquet"
+        pq.write_table(t, p)
+        files.append([str(p)])
+    return epochs, files
+
+
+def test_incremental_equals_oneshot_after_refactor(tmp_path):
+    """State-inside-merge-task design: multi-epoch incremental == one-shot."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=4)
+    root = str(tmp_path / "t")
+    for k in range(1, 5):
+        cdc.replay_commit(root, files[:k], num_partitions=8)
+    got = cdc.read_table(root).to_pandas()
+    want = sequential_lww(pa.concat_tables(epochs))
+    assert_frames_equal(got, want)
+    # partitioner pinned in the commit
+    c = mf.latest_commit(root)
+    assert c["num_partitions"] == 8 and "turn_block" in c
+
+
+def test_partitioner_pinned_overrides_caller(tmp_path):
+    epochs, files = _write_epochs(tmp_path, n_epochs=2)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files[:1], num_partitions=8)
+    # caller asks for a different partition count on resume — table wins
+    cdc.replay_commit(root, files, num_partitions=32)
+    assert mf.latest_commit(root)["num_partitions"] == 8
+    got = cdc.read_table(root).to_pandas()
+    want = sequential_lww(pa.concat_tables(epochs))
+    assert_frames_equal(got, want)
+
+
+def test_untouched_partitions_not_rewritten(tmp_path):
+    epochs, files = _write_epochs(tmp_path, n_epochs=1, n_events=3000)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files, num_partitions=8)
+    c0 = mf.latest_commit(root)
+    # epoch 1 touches a single conversation → most partitions carry forward
+    one = pa.table(
+        {
+            "lsn": pa.array([10_000], pa.int64()),
+            "op": ["upsert"],
+            "conv_id": ["conv-1"],
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": ["user"],
+            "text": ["patched"],
+            "tool": [None],
+            "ts": pa.array([2_000_000_000_000_000], pa.timestamp("us")),
+        }
+    ).cast(CHANGE_SCHEMA)
+    p1 = tmp_path / "single.parquet"
+    pq.write_table(one, p1)
+    cdc.replay_commit(root, files + [[str(p1)]], num_partitions=8)
+    c1 = mf.latest_commit(root)
+    rewritten = [
+        m for m in c1["partitions"] if m["file"] and f"epoch-{1:06d}" in m["file"]
+    ]
+    assert len(rewritten) == 1  # only the touched partition was rewritten
+    got = cdc.read_table(root).to_pandas()
+    patched = got[(got.conv_id == "conv-1") & (got.turn_idx == 0)]
+    assert patched.iloc[0]["text"] == "patched"
+
+
+def test_compact_drops_tombstones_preserves_state(tmp_path):
+    epochs, files = _write_epochs(tmp_path, n_epochs=2)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files, num_partitions=8)
+    before = cdc.read_table(root).to_pandas()
+    pre_tombs = sum(m["tombstones"] for m in mf.latest_commit(root)["partitions"])
+    assert pre_tombs > 0
+    c = cdc.compact(root)
+    assert c["stats"]["compaction"] is True
+    after = cdc.read_table(root).to_pandas()
+    assert_frames_equal(after, before)
+    assert sum(m["tombstones"] for m in c["partitions"]) == 0
+    # replay continues to work after compaction (partitioner preserved)
+    extra = make_changes(n_events=500, n_convs=40, seed=99, n_epochs=1, start_lsn=50_000)[0]
+    p = tmp_path / "extra.parquet"
+    pq.write_table(extra, p)
+    cdc.replay_commit(root, files + [[str(p)], [str(p)]][:0] + [[str(p)]], num_partitions=8)
+
+
+def test_changes_since(tmp_path):
+    epochs, files = _write_epochs(tmp_path, n_epochs=3)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files, num_partitions=8)
+    wm0 = mf.list_commits(root)[0]["watermark"]
+    delta = cdc.changes_since(root, after_epoch=0).to_pandas()
+    assert (delta["lsn"] > wm0).all()
+    assert len(delta) > 0
+    assert {"op", "conv_id", "turn_idx"} <= set(delta.columns)
+    with pytest.raises(ValueError):
+        cdc.changes_since(root, after_epoch=2)  # nothing newer
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: replay == sequential oracle for arbitrary event lists
+# ---------------------------------------------------------------------------
+
+_event = st.tuples(
+    st.sampled_from(["upsert", "delete"]),
+    st.integers(0, 3),  # conv
+    st.integers(0, 3),  # turn
+    st.integers(0, 5),  # ts bucket (collisions on purpose)
+    st.text(alphabet="abcxyz ", min_size=0, max_size=8),
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_event, min_size=1, max_size=40))
+def test_replay_matches_oracle_property(events):
+    n = len(events)
+    t = pa.table(
+        {
+            "lsn": pa.array(np.arange(n, dtype=np.int64)),
+            "op": [e[0] for e in events],
+            "conv_id": [f"c{e[1]}" for e in events],
+            "turn_idx": pa.array([e[2] for e in events], pa.int32()),
+            "role": ["user"] * n,
+            "text": [None if e[0] == "delete" else e[4] for e in events],
+            "tool": [None] * n,
+            "ts": pa.array([1_000_000 * e[3] for e in events], pa.timestamp("us")),
+        }
+    ).cast(CHANGE_SCHEMA)
+    got = cdc.replay(ray.data.from_arrow(t), num_partitions=4).to_pandas()
+    want = sequential_lww(t)
+    if want.empty:
+        assert len(got) == 0
+    else:
+        assert_frames_equal(got, want)

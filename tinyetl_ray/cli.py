@@ -243,6 +243,12 @@ def cmd_cdc(args) -> int:
             num_partitions=args.partitions,
         )
         print(json.dumps({"applied_epochs": [c["epoch"] for c in commits]}))
+    elif args.cdc_cmd == "compact":
+        c = cdc.compact(args.table, drop_tombstones=not args.keep_tombstones)
+        print(json.dumps({"epoch": c["epoch"], "stats": c["stats"]}))
+    elif args.cdc_cmd == "changes-since":
+        ds = cdc.changes_since(args.table, args.epoch)
+        print("rows:", ds.count())
     elif args.cdc_cmd == "lineage":
         for c in mf.list_commits(args.table):
             print(json.dumps({k: c[k] for k in ("epoch", "watermark", "stats")}))
@@ -301,6 +307,12 @@ def main(argv: list[str] | None = None) -> int:
     rep.add_argument("epochs", nargs="+")
     rep.add_argument("--base")
     rep.add_argument("--partitions", type=int, default=64)
+    cmp_ = csub.add_parser("compact")
+    cmp_.add_argument("table")
+    cmp_.add_argument("--keep-tombstones", action="store_true", dest="keep_tombstones")
+    chs = csub.add_parser("changes-since")
+    chs.add_argument("table")
+    chs.add_argument("epoch", type=int)
     lin = csub.add_parser("lineage")
     lin.add_argument("table")
     shw = csub.add_parser("show")

@@ -20,6 +20,7 @@ Two entry points:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any
 
@@ -180,9 +181,14 @@ def replay_commit(
     Per epoch:
       1. evolved schema = union(current table schema, epoch schema)
       2. decode + watermark filter + combiner + salted partition routing
-      3. union with prior snapshots (as ordinary change rows)
-      4. per-partition LWW merge task writes `parts/part-K/epoch-E.parquet`
-         atomically and returns a manifest row (per-partition lineage+metrics)
+      3. SHUFFLE THE CHANGES ONLY — each per-partition merge task loads its
+         own partition's prior snapshot from disk inside the task (no
+         whole-table re-shuffle per epoch; untouched partitions are never
+         even read, their manifests carry forward). This requires the
+         partitioner (num_partitions, turn_block) to be FIXED per table —
+         both are recorded in the commit and reused on later epochs.
+      4. the merge task writes `parts/part-K/epoch-E.parquet` atomically and
+         returns a manifest row (per-partition lineage+metrics)
       5. driver publishes the epoch commit (atomic rename) — exactly-once
 
     Returns the list of commit records (one per newly applied epoch).
@@ -193,6 +199,10 @@ def replay_commit(
         if prev is not None and prev["epoch"] >= epoch:
             continue  # checkpoint resume: epoch already committed
         t0 = time.perf_counter()
+        if prev is not None:
+            # the partitioner is a table property once the first epoch commits
+            num_partitions = prev.get("num_partitions", num_partitions)
+            turn_block = prev.get("turn_block", turn_block)
         changes = ray.data.read_parquet(files)
         extra: list[pa.Schema] = []
         prev_files: list[str] = []
@@ -211,6 +221,17 @@ def replay_commit(
                 )
         schema = file_union_schema(files, extra)
         wm = mf.partition_watermarks(prev)
+        # pid → prior snapshot path, resolved driver-side (tiny), read inside
+        # each merge task
+        prior_snapshots: dict[int, str] = (
+            {
+                m["partition"]: os.path.join(table_root, m["file"])
+                for m in prev["partitions"]
+                if m["rows"] > 0
+            }
+            if prev is not None
+            else {}
+        )
 
         ds = changes.map_batches(DecodeValidate(schema, on_error=on_error), batch_format="pyarrow")
         if wm:
@@ -220,11 +241,6 @@ def replay_commit(
                 batch_format="pyarrow",
             )
         ds = ds.map_batches(PreReduce(), batch_format="pyarrow")
-        if prev_files:
-            state = ray.data.read_parquet(prev_files).map_batches(
-                lambda t, s=schema: align_to(t, s), batch_format="pyarrow"
-            )
-            ds = ds.union(state)
         if bootstrap_base:
             b = ray.data.read_parquet(bootstrap_base).map_batches(
                 lambda t, s=schema: base_as_changes(t, s), batch_format="pyarrow"
@@ -234,7 +250,11 @@ def replay_commit(
         ds = ds.repartition(default_shuffle_blocks())
 
         def _merge_write(
-            group: pa.Table, root: str = table_root, ep: int = epoch
+            group: pa.Table,
+            root: str = table_root,
+            ep: int = epoch,
+            priors: dict[int, str] = prior_snapshots,
+            sch: pa.Schema = schema,
         ) -> pa.Table:
             # Events already applied in a prior commit may still be present
             # (between the global min watermark and this partition's own):
@@ -242,7 +262,11 @@ def replay_commit(
             # a no-op under LWW, so no per-partition filter is needed for
             # correctness — idempotence does the work.
             pid = int(group.column(PARTITION_COL)[0].as_py())
-            merged = lww_reduce(group.drop_columns([PARTITION_COL]), keep_deletes=True)
+            t = group.drop_columns([PARTITION_COL])
+            if pid in priors:
+                state = align_to(pq.read_table(priors[pid]), sch)
+                t = pa.concat_tables([t, state])
+            merged = lww_reduce(t, keep_deletes=True)
             merged = finalize_payload(merged, drop_cols=())
             man = mf.write_snapshot(root, pid, ep, merged)
             return pa.table({k: [man[k]] for k in man})
@@ -260,5 +284,113 @@ def replay_commit(
             "epoch_secs": round(time.perf_counter() - t0, 3),
             "partitions_written": len(seen),
         }
-        commits.append(mf.commit_epoch(table_root, epoch, manifests, stats, schema=schema))
+        commits.append(
+            mf.commit_epoch(
+                table_root,
+                epoch,
+                manifests,
+                stats,
+                schema=schema,
+                extra={"num_partitions": num_partitions, "turn_block": turn_block},
+            )
+        )
     return commits
+
+
+def compact(table_root: str, drop_tombstones: bool = True) -> dict[str, Any]:
+    """Compaction / tombstone GC: rewrite every partition's snapshot keeping
+    only current winners (optionally dropping delete tombstones), committed
+    as a new epoch.
+
+    Trade-off documented for operators: dropping tombstones makes the table
+    smaller but means a LATER-arriving event with ts older than a dropped
+    delete would resurrect the key — only safe once the change stream is
+    known to have advanced past the tombstone's ts (a retention window, like
+    Kafka compacted-topic or Delta VACUUM semantics). Per-partition rewrite
+    tasks run distributed; the commit is the same atomic manifest publish.
+    """
+    prev = mf.latest_commit(table_root)
+    if prev is None:
+        raise FileNotFoundError(f"no committed epoch under {table_root}")
+    epoch = prev["epoch"] + 1
+    schema = mf.schema_from_b64(prev["schema_b64"]) if "schema_b64" in prev else None
+    files = mf.snapshot_files(table_root, prev)
+    if not files:
+        return prev
+    ds = ray.data.read_parquet(files)
+    if schema is not None:
+        ds = ds.map_batches(lambda t, s=schema: align_to(t, s), batch_format="pyarrow")
+    # reuse the table's PINNED partitioner so rows route back to their own
+    # partition (incremental merges rely on pid-stable state files)
+    num_partitions = prev.get("num_partitions", len(prev["partitions"]))
+    turn_block = prev.get("turn_block", DEFAULT_TURN_BLOCK)
+    ds = ds.map_batches(
+        AddPartitionId(num_partitions, turn_block), batch_format="pyarrow"
+    )
+
+    def _rewrite(group: pa.Table, root: str = table_root, ep: int = epoch) -> pa.Table:
+        pid = int(group.column(PARTITION_COL)[0].as_py())
+        t = group.drop_columns([PARTITION_COL])
+        if drop_tombstones:
+            t = t.filter(pc.equal(t.column("op"), "upsert"))
+        t = finalize_payload(t, drop_cols=())
+        man = mf.write_snapshot(root, pid, ep, t)
+        return pa.table({k: [man[k]] for k in man})
+
+    manifests = (
+        ds.groupby(PARTITION_COL)
+        .map_groups(_rewrite, batch_format="pyarrow")
+        .take_all()
+    )
+    # partitions with no LIVE rows after compaction become explicitly empty
+    # (carrying the old manifest forward would re-reference dropped
+    # tombstones); their lsn watermark is preserved so it never regresses
+    seen = {m["partition"] for m in manifests}
+    for m in prev["partitions"]:
+        if m["partition"] not in seen:
+            manifests.append(
+                {
+                    "partition": m["partition"],
+                    "epoch": epoch,
+                    "file": "",
+                    "rows": 0,
+                    "tombstones": 0,
+                    "live_rows": 0,
+                    "lsn_watermark": m["lsn_watermark"],
+                    "content_hash": "",
+                }
+            )
+    stats = {"compaction": True, "dropped_tombstones": drop_tombstones}
+    return mf.commit_epoch(
+        table_root,
+        epoch,
+        manifests,
+        stats,
+        schema=schema,
+        extra={"num_partitions": num_partitions, "turn_block": turn_block},
+    )
+
+
+def changes_since(table_root: str, after_epoch: int) -> ray.data.Dataset:
+    """Incremental CDC-out: the change rows committed AFTER ``after_epoch``.
+
+    Reads only the latest snapshots and keeps rows whose lsn is above the
+    older commit's watermark — the per-key winners that changed since then,
+    including delete tombstones (op retained so consumers can propagate
+    deletes)."""
+    commits = mf.list_commits(table_root)
+    older = [c for c in commits if c["epoch"] == after_epoch]
+    newer = [c for c in commits if c["epoch"] > after_epoch]
+    if not older or not newer:
+        raise ValueError(f"need commits on both sides of epoch {after_epoch}")
+    wm = older[0]["watermark"]
+    latest = newer[-1]
+    files = mf.snapshot_files(table_root, latest)
+    ds = ray.data.read_parquet(files)
+    if "schema_b64" in latest:
+        s = mf.schema_from_b64(latest["schema_b64"])
+        ds = ds.map_batches(lambda t, sc=s: align_to(t, sc), batch_format="pyarrow")
+    return ds.map_batches(
+        lambda t, w=wm: t.filter(pc.greater(t.column("lsn"), w)),
+        batch_format="pyarrow",
+    )

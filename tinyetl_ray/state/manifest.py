@@ -129,6 +129,7 @@ def commit_epoch(
     manifests: list[dict[str, Any]],
     stats: dict[str, Any] | None = None,
     schema: pa.Schema | None = None,
+    extra: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
     """Driver-side atomic publish: the epoch exists once LATEST points at it.
 
@@ -144,6 +145,9 @@ def commit_epoch(
     }
     if schema is not None:
         commit["schema_b64"] = schema_to_b64(schema)
+    if extra:
+        commit.update(extra)  # e.g. the pinned partitioner (num_partitions,
+        # turn_block) — a table property once the first epoch commits
     cpath = os.path.join(root, COMMITS_DIR, f"epoch-{epoch:06d}.json")
     _atomic_write_bytes(cpath, json.dumps(commit, indent=1).encode())
     _atomic_write_bytes(os.path.join(root, COMMITS_DIR, LATEST), f"epoch-{epoch:06d}".encode())
