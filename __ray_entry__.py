@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "events_sessionize": p.events_sessionize,
         "sqlite_roundtrip": p.sqlite_roundtrip,
+        "avro_roundtrip": p.avro_roundtrip,
         # --- wide operations ---
         "agg_orders_by_status": lambda sf: _round_cols(
             p.agg_orders_by_status(sf), {"sum_price": 2, "avg_price": 4}
@@ -299,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s GROUP BY user_id, sess
         """,
         "sqlite_roundtrip": "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+        "avro_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "agg_orders_by_status": """
             SELECT o_orderstatus, COUNT(*) AS n_orders,
                    ROUND(SUM(o_totalprice), 2) AS sum_price,

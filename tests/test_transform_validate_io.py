@@ -153,3 +153,16 @@ def test_sniffed_read_csv(tmp_path):
     assert str(out["id"].dtype) in ("Int64", "int64")
     assert out["price"].dtype == np.float64
     assert str(out["when"].dtype).startswith("datetime64")
+
+
+def test_url_secrets_and_fragments(monkeypatch):
+    from tinyetl_ray.sources.urls import inject_secrets, parse_target
+
+    monkeypatch.setenv("TINYETL_SECRET_DB_PASS", "s3cret")
+    assert inject_secrets("postgres://u:{db_pass}@h/db") == "postgres://u:s3cret@h/db"
+    with pytest.raises(KeyError):
+        inject_secrets("postgres://u:{missing}@h/db")
+    assert parse_target("/tmp/x/foo.parquet#mytab") == ("/tmp/x/foo.parquet", "mytab")
+    assert parse_target("file:///tmp/x/foo.parquet") == ("/tmp/x/foo.parquet", "foo")
+    with pytest.raises(NotImplementedError):
+        parse_target("https://example.com/data.csv")

@@ -182,6 +182,30 @@ def events_sessionize(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def avro_roundtrip(sf_dir: str) -> ray.data.Dataset:
+    """Avro target → Avro source round trip (reference avro.rs connector
+    pair; pure-python OCF codec, deflate blocks, nullable unions)."""
+    import tempfile
+
+    from ..sources.avro import read_avro, write_avro
+
+    tmp = tempfile.mkdtemp(prefix="tinyetl-avro-")
+    out = os.path.join(tmp, "nation_avro")
+    write_avro(_read(sf_dir, "nation"), out)
+    files = sorted(os.path.join(out, f) for f in os.listdir(out))
+    ds = read_avro(files)
+    return ds.map_batches(
+        lambda t: pa.table(
+            {
+                "n_nationkey": t.column("n_nationkey").cast(pa.int32()),
+                "n_name": t.column("n_name"),
+                "n_regionkey": t.column("n_regionkey").cast(pa.int32()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def sqlite_roundtrip(sf_dir: str) -> ray.data.Dataset:
     """SQLite connector parity (reference src/connectors/sqlite.rs): write
     supplier into a sqlite table (chunked executemany ≈ its ≤900-bind-param

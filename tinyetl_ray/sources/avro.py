@@ -1,0 +1,377 @@
+"""Avro Object Container File source/sink — pure Python, Ray-Data-wired.
+
+Parity target: the reference's Avro connector
+(/root/reference/src/connectors/avro.rs:16-656): container read with schema
+from writer metadata, `["null", T]` unions → nullable, logical
+date/timestamp types, nested record/map/array values flattened to JSON
+strings, buffered single-file write with `["null", T]` union generation.
+
+No avro library ships in this environment, so the OCF wire format is
+implemented here directly (it is small: zigzag-varint primitives + sync-
+marker-delimited deflate/null blocks). Supported types: null, boolean,
+int, long, float, double, string, bytes, nullable unions of those, logical
+timestamp-millis/micros and date on int/long, and nested record/array/map
+READ as JSON strings (matching the reference's flattening,
+avro.rs:110-144). Unlike the reference's O(n²) re-open-and-skip batch read
+(avro.rs:314-339), reading streams each block once.
+
+Ray wiring: ``read_avro`` fans file decoding out as a task per file via
+``ray.data.read_binary_files`` + ``map_batches`` (container blocks are not
+independently splittable without an index, same constraint the reference
+has); ``write_avro`` writes one container file per Ray block.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+
+import pyarrow as pa
+
+MAGIC = b"Obj\x01"
+
+# ---------------------------------------------------------------------------
+# primitive codecs
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+class _Reader:
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def long(self) -> int:
+        z = 0
+        shift = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            z |= (b & 0x7F) << shift
+            if not b & 0x80:
+                break
+            shift += 7
+        return (z >> 1) ^ -(z & 1)
+
+    def bytes_(self) -> bytes:
+        n = self.long()
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def string(self) -> str:
+        return self.bytes_().decode("utf-8")
+
+    def float_(self) -> float:
+        (v,) = struct.unpack_from("<f", self.buf, self.pos)
+        self.pos += 4
+        return v
+
+    def double(self) -> float:
+        (v,) = struct.unpack_from("<d", self.buf, self.pos)
+        self.pos += 8
+        return v
+
+    def boolean(self) -> bool:
+        b = self.buf[self.pos]
+        self.pos += 1
+        return b == 1
+
+    def fixed(self, n: int) -> bytes:
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+
+# ---------------------------------------------------------------------------
+# schema-driven value decode (one row field at a time, python values)
+# ---------------------------------------------------------------------------
+
+
+def _decode_value(r: _Reader, schema):
+    if isinstance(schema, str):
+        kind = schema
+    elif isinstance(schema, dict):
+        kind = schema["type"]
+    elif isinstance(schema, list):  # union
+        idx = r.long()
+        return _decode_value(r, schema[idx])
+    else:
+        raise ValueError(f"bad schema node: {schema!r}")
+
+    if kind == "null":
+        return None
+    if kind == "boolean":
+        return r.boolean()
+    if kind in ("int", "long"):
+        return r.long()
+    if kind == "float":
+        return r.float_()
+    if kind == "double":
+        return r.double()
+    if kind == "string":
+        return r.string()
+    if kind == "bytes":
+        return r.bytes_()
+    if kind == "fixed":
+        return r.fixed(schema["size"])
+    if kind == "enum":
+        return schema["symbols"][r.long()]
+    if kind == "record":
+        return {f["name"]: _decode_value(r, f["type"]) for f in schema["fields"]}
+    if kind == "array":
+        out = []
+        while True:
+            n = r.long()
+            if n == 0:
+                break
+            if n < 0:
+                r.long()  # block byte size, unused
+                n = -n
+            for _ in range(n):
+                out.append(_decode_value(r, schema["items"]))
+        return out
+    if kind == "map":
+        out = {}
+        while True:
+            n = r.long()
+            if n == 0:
+                break
+            if n < 0:
+                r.long()
+                n = -n
+            for _ in range(n):
+                out[r.string()] = _decode_value(r, schema["values"])
+        return out
+    raise ValueError(f"unsupported avro type {kind!r}")
+
+
+def _field_arrow_type(schema) -> tuple[pa.DataType, bool, str | None]:
+    """(arrow type, nullable, logical) for one field schema. Nested complex
+    types map to JSON strings — the reference's flattening (avro.rs:110-144)."""
+    if isinstance(schema, list):
+        nonnull = [s for s in schema if s != "null"]
+        if len(nonnull) == 1:
+            t, _, lg = _field_arrow_type(nonnull[0])
+            return t, True, lg
+        return pa.string(), True, "json"
+    if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            return pa.timestamp("us"), False, lt
+        if lt == "date":
+            return pa.timestamp("us"), False, "date"
+        if schema["type"] in ("record", "array", "map", "enum", "fixed"):
+            if schema["type"] == "enum":
+                return pa.string(), False, None
+            return pa.string(), False, "json"
+        return _field_arrow_type(schema["type"])
+    return {
+        "null": (pa.null(), True, None),
+        "boolean": (pa.bool_(), False, None),
+        "int": (pa.int64(), False, None),
+        "long": (pa.int64(), False, None),
+        "float": (pa.float64(), False, None),
+        "double": (pa.float64(), False, None),
+        "string": (pa.string(), False, None),
+        "bytes": (pa.binary(), False, None),
+    }[schema]
+
+
+def decode_container(data: bytes) -> pa.Table:
+    """One Avro OCF → Arrow table (streams blocks once; no O(n²) re-scan)."""
+    r = _Reader(data)
+    if r.fixed(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta = {}
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            r.long()
+            n = -n
+        for _ in range(n):
+            k = r.string()
+            meta[k] = r.bytes_()
+    sync = r.fixed(16)
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    if schema.get("type") != "record":
+        raise ValueError("top-level avro schema must be a record")
+    fields = schema["fields"]
+
+    rows: list[dict] = []
+    while r.pos < len(r.buf):
+        count = r.long()
+        size = r.long()
+        block = r.fixed(size)
+        if codec == "deflate":
+            block = zlib.decompress(block, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported avro codec {codec!r}")
+        br = _Reader(block)
+        for _ in range(count):
+            rows.append({f["name"]: _decode_value(br, f["type"]) for f in fields})
+        if r.fixed(16) != sync:
+            raise ValueError("avro sync marker mismatch")
+
+    arrays, names = [], []
+    for f in fields:
+        typ, nullable, logical = _field_arrow_type(f["type"])
+        vals = [row[f["name"]] for row in rows]
+        if logical == "timestamp-millis":
+            vals = [None if v is None else v * 1000 for v in vals]
+        elif logical == "date":
+            vals = [None if v is None else v * 86_400_000_000 for v in vals]
+        elif logical == "json":
+            vals = [None if v is None else json.dumps(v, sort_keys=True) for v in vals]
+        if pa.types.is_null(typ):
+            arr = pa.nulls(len(vals))
+        else:
+            arr = pa.array(vals, typ)
+        arrays.append(arr)
+        names.append(f["name"])
+    return pa.table(dict(zip(names, arrays)))
+
+
+# ---------------------------------------------------------------------------
+# write
+# ---------------------------------------------------------------------------
+
+_ARROW_TO_AVRO = [
+    (pa.types.is_boolean, "boolean"),
+    (pa.types.is_integer, "long"),
+    (pa.types.is_floating, "double"),
+    (pa.types.is_string, "string"),
+    (pa.types.is_binary, "bytes"),
+]
+
+
+def _avro_field_schema(field: pa.Field) -> dict:
+    if pa.types.is_timestamp(field.type):
+        base: object = {"type": "long", "logicalType": "timestamp-micros"}
+    else:
+        base = None
+        for pred, name in _ARROW_TO_AVRO:
+            if pred(field.type):
+                base = name
+                break
+        if base is None:
+            base = "string"  # nested/other → JSON string, like the reference
+    # always-nullable unions, matching the reference's inferred-schema policy
+    # (schema.rs:549-553 + avro.rs:400-470 union generation)
+    return {"name": field.name, "type": ["null", base]}
+
+
+def encode_container(t: pa.Table, codec: str = "deflate", sync: bytes = b"tinyetlraysync!!") -> bytes:
+    assert len(sync) == 16
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [_avro_field_schema(f) for f in t.schema],
+    }
+    out = io.BytesIO()
+    out.write(MAGIC)
+    meta = {"avro.schema": json.dumps(schema).encode(), "avro.codec": codec.encode()}
+    out.write(_zigzag_encode(len(meta)))
+    for k, v in meta.items():
+        kb = k.encode()
+        out.write(_zigzag_encode(len(kb)) + kb)
+        out.write(_zigzag_encode(len(v)) + v)
+    out.write(_zigzag_encode(0))
+    out.write(sync)
+
+    body = io.BytesIO()
+    cols = []
+    for f in t.schema:
+        col = t.column(f.name).combine_chunks()
+        if pa.types.is_timestamp(f.type):
+            col = col.cast(pa.int64())
+        cols.append(col.to_pylist())
+    n = len(t)
+    for i in range(n):
+        for j, f in enumerate(t.schema):
+            v = cols[j][i]
+            if v is None:
+                body.write(_zigzag_encode(0))
+                continue
+            body.write(_zigzag_encode(1))  # union branch 1 = value
+            ft = t.schema.field(j).type
+            if pa.types.is_boolean(ft):
+                body.write(b"\x01" if v else b"\x00")
+            elif pa.types.is_integer(ft) or pa.types.is_timestamp(ft):
+                body.write(_zigzag_encode(int(v)))
+            elif pa.types.is_floating(ft):
+                body.write(struct.pack("<d", float(v)))
+            elif pa.types.is_binary(ft):
+                body.write(_zigzag_encode(len(v)) + v)
+            else:
+                s = v if isinstance(v, str) else json.dumps(v, sort_keys=True)
+                b = s.encode()
+                body.write(_zigzag_encode(len(b)) + b)
+    raw = body.getvalue()
+    if codec == "deflate":
+        comp = zlib.compressobj(wbits=-15)
+        raw = comp.compress(raw) + comp.flush()
+    out.write(_zigzag_encode(n))
+    out.write(_zigzag_encode(len(raw)))
+    out.write(raw)
+    out.write(sync)
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Ray wiring
+# ---------------------------------------------------------------------------
+
+
+def read_avro(paths: str | list[str]):
+    """Dataset over Avro container files — one decode task per file."""
+    import ray.data
+
+    def dec(batch: pa.Table) -> pa.Table:
+        tables = [decode_container(b.as_py()) for b in batch.column("bytes")]
+        return pa.concat_tables(tables, promote_options="default")
+
+    return ray.data.read_binary_files(paths).map_batches(
+        dec, batch_format="pyarrow", batch_size=1
+    )
+
+
+def write_avro(ds, path: str, codec: str = "deflate") -> str:
+    """One container file per Ray block, written from the tasks (distributed,
+    never a whole-dataset driver buffer — unlike avro.rs:569-580)."""
+    import ray.data  # noqa: F401
+
+    os.makedirs(path, exist_ok=True)
+
+    def w(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"file": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
+        import uuid
+
+        name = os.path.join(path, f"part-{uuid.uuid4().hex[:12]}.avro")
+        tmp = name + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(encode_container(t, codec=codec))
+        os.replace(tmp, name)
+        return pa.table({"file": [name], "rows": [len(t)]})
+
+    manifest = ds.map_batches(w, batch_format="pyarrow").take_all()
+    return path if manifest else path

@@ -27,11 +27,18 @@ import pandas as pd
 import pyarrow as pa
 import ray.data
 
+def _read_avro(path, **kwargs):
+    from .avro import read_avro
+
+    return read_avro(path, **kwargs)
+
+
 _EXT_READERS = {
     ".parquet": ray.data.read_parquet,
     ".csv": ray.data.read_csv,
     ".json": ray.data.read_json,
     ".jsonl": ray.data.read_json,
+    ".avro": _read_avro,
 }
 
 
@@ -56,6 +63,10 @@ def write_any(ds: ray.data.Dataset, path: str, fmt: str | None = None) -> str:
         ds.write_csv(path)
     elif fmt in ("json", "jsonl"):
         ds.write_json(path)
+    elif fmt == "avro":
+        from .avro import write_avro
+
+        write_avro(ds, path)
     else:
         raise ValueError(f"unsupported target format {fmt!r}")
     return path
