@@ -130,6 +130,30 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
         n_final = cdc.read_table(os.path.join(work, "table")).count()
         queries["read_table"] = round(time.perf_counter() - t0, 3)
 
+        # incremental epoch: a 1/64th-sized change slice applied on the
+        # committed table — merge tasks load ONLY touched partitions' state
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        inc = pq.read_table(wide_files[0])
+        inc = inc.set_column(
+            inc.column_names.index("lsn"),
+            "lsn",
+            pc.add(inc.column("lsn"), 10_000_000_000),
+        )
+        inc_path = os.path.join(work, "inc.parquet")
+        pq.write_table(inc, inc_path)
+        t0 = time.perf_counter()
+        cdc.replay_commit(
+            os.path.join(work, "table"), [wide_files, [inc_path]],
+            num_partitions=NUM_PARTITIONS,
+        )
+        queries["cdc_incremental_epoch"] = round(time.perf_counter() - t0, 3)
+        queries["incremental_events_per_sec"] = round(
+            len(inc) / queries["cdc_incremental_epoch"]
+        )
+
         # --- churn profile: events-table-derived log, ~7k hot keys ------
         changes_dir = os.path.join(work, "changes")
         t0 = time.perf_counter()

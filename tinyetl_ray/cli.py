@@ -188,9 +188,17 @@ def cmd_transfer(args) -> int:
         return 0
     if args.truncate and os.path.isdir(args.target):
         shutil.rmtree(args.target)
+    import time
+
+    t0 = time.perf_counter()
     write_any(ds, args.target, fmt=args.target_format)
     n = ds.count()
-    print(f"transferred {n} rows -> {args.target}")
+    secs = time.perf_counter() - t0
+    # TransferStats parity (transfer.rs:15-20, :188-198)
+    print(
+        f"transferred {n} rows -> {args.target} "
+        f"({secs:.2f}s, {n / max(secs, 1e-9):,.0f} rows/sec)"
+    )
     return 0
 
 

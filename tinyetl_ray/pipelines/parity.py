@@ -208,30 +208,24 @@ def avro_roundtrip(sf_dir: str) -> ray.data.Dataset:
 
 def sqlite_roundtrip(sf_dir: str) -> ray.data.Dataset:
     """SQLite connector parity (reference src/connectors/sqlite.rs): write
-    supplier into a sqlite table (chunked executemany ≈ its ≤900-bind-param
-    batching), read it back with ray.data.read_sql (partitioned queries)."""
+    supplier through the generic DBAPI sink (chunked executemany under the
+    ≤900-bind-param limit, connection per actor), read it back with
+    ray.data.read_sql."""
     import sqlite3
     import tempfile
 
-    import ray.data
+    from ..sources import sql as sqlsrc
 
     db = os.path.join(tempfile.mkdtemp(prefix="tinyetl-sqlite-"), "t.db")
-    rows = _read(sf_dir, "supplier").to_pandas()
-    with sqlite3.connect(db) as conn:
-        conn.execute(
-            "CREATE TABLE IF NOT EXISTS supplier "
-            "(s_suppkey INTEGER, s_name TEXT, s_nationkey INTEGER, s_acctbal REAL)"
-        )
-        conn.executemany(
-            "INSERT INTO supplier VALUES (?,?,?,?)",
-            rows[["s_suppkey", "s_name", "s_nationkey", "s_acctbal"]].itertuples(
-                index=False, name=None
-            ),
-        )
-        conn.commit()
-    ds = ray.data.read_sql(
-        "SELECT * FROM supplier", lambda: sqlite3.connect(db)
+
+    def connect(path=db):
+        return sqlite3.connect(path, check_same_thread=False)
+
+    sqlsrc.write_table(
+        _read(sf_dir, "supplier"), "supplier", connect,
+        max_bind_params=900, dialect="sqlite",
     )
+    ds = sqlsrc.read_table("SELECT * FROM supplier", connect)
     return ds.map_batches(
         lambda t: t.set_column(
             t.column_names.index("s_nationkey"),

@@ -1,0 +1,113 @@
+"""Generic DBAPI source/sink — the reference's database connector shape.
+
+All of TinyETL's DB connectors share one pattern (SURVEY.md §2.2): schema
+from catalog or sample, paginated reads, CREATE TABLE IF NOT EXISTS +
+chunked multi-row INSERT sized to engine bind-parameter limits (SQLite ≤900
+params sqlite.rs:355-402, Postgres 65535→1000 rows postgres.rs:431-492,
+MSSQL ≤1000 rows mssql.rs:563-620). This module reproduces that pattern once
+over any DBAPI connection factory:
+
+- ``read_table``: ``ray.data.read_sql`` (Ray parallelizes via sharded
+  queries where supported; the reference's OFFSET pagination is O(n²) —
+  odbc.rs keyset pagination was its only fix).
+- ``write_table``: per-Ray-block INSERT chunks through an actor pool — one
+  connection per actor (setup once), chunk size = max_bind_params /
+  n_columns, executemany per chunk.
+
+Only sqlite ships in this environment; postgres/mysql drivers would plug in
+through the same ``connection_factory``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+import ray
+import ray.data
+
+_TYPE_SQL = {
+    "int64": "BIGINT",
+    "int32": "BIGINT",
+    "float64": "DOUBLE PRECISION",
+    "float32": "DOUBLE PRECISION",
+    "bool": "BOOLEAN",
+    "object": "TEXT",
+    "string": "TEXT",
+}
+
+
+def read_table(
+    query: str, connection_factory: Callable, **kwargs
+) -> ray.data.Dataset:
+    return ray.data.read_sql(query, connection_factory, **kwargs)
+
+
+def create_table_sql(table: str, df: pd.DataFrame, dialect: str = "generic") -> str:
+    cols = []
+    for name, dtype in df.dtypes.items():
+        sql_t = _TYPE_SQL.get(str(dtype), "TEXT")
+        if str(dtype).startswith("datetime"):
+            sql_t = "TIMESTAMP"
+        if dialect == "sqlite" and sql_t in ("DOUBLE PRECISION",):
+            sql_t = "REAL"
+        cols.append(f"{name} {sql_t}")
+    return f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(cols)})"
+
+
+def write_table(
+    ds: ray.data.Dataset,
+    table: str,
+    connection_factory: Callable,
+    max_bind_params: int = 900,
+    dialect: str = "generic",
+    truncate: bool = False,
+    concurrency: int = 1,  # sqlite is single-writer; raise for server DBs
+) -> int:
+    """Distributed chunked INSERT (append-first; truncate on request —
+    transfer.rs:92-118 semantics). Returns rows written."""
+    probe = ds.limit(1).to_pandas()
+    with _closing(connection_factory()) as conn:
+        cur = conn.cursor()
+        cur.execute(create_table_sql(table, probe, dialect))
+        if truncate:
+            cur.execute(f"DELETE FROM {table}")
+        conn.commit()
+
+    ncols = max(1, len(probe.columns))
+    chunk_rows = max(1, max_bind_params // ncols)
+    cols = list(probe.columns)
+    placeholders = ",".join(["?"] * ncols)
+    insert = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders})"
+
+    class Writer:
+        def __init__(self):
+            self.conn = connection_factory()  # once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[cols]
+            cur = self.conn.cursor()
+            rows = list(df.itertuples(index=False, name=None))
+            for i in range(0, len(rows), chunk_rows):
+                cur.executemany(insert, rows[i : i + chunk_rows])
+            self.conn.commit()
+            return pd.DataFrame({"rows": [len(df)]})
+
+    written = ds.map_batches(
+        Writer, batch_format="pandas", concurrency=concurrency, num_cpus=0.5
+    ).to_pandas()
+    return int(written["rows"].sum()) if len(written) else 0
+
+
+class _closing:
+    def __init__(self, conn):
+        self.conn = conn
+
+    def __enter__(self):
+        return self.conn
+
+    def __exit__(self, *a):
+        try:
+            self.conn.close()
+        except Exception:
+            pass
