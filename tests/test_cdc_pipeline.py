@@ -127,3 +127,64 @@ def test_malformed_events_raise_or_drop():
         cdc.replay(ray.data.from_arrow(bad), num_partitions=2).materialize()
     ok = cdc.replay(ray.data.from_arrow(bad), num_partitions=2, on_error="drop").to_pandas()
     assert len(ok) == 1 and ok.iloc[0]["conv_id"] == "a"
+
+
+def test_quarantine_dead_letter(tmp_path):
+    import glob
+
+    bad = pa.table(
+        {
+            "lsn": pa.array([1, None, 3], pa.int64()),
+            "op": ["upsert", "upsert", "bogus"],
+            "conv_id": ["a", "b", "c"],
+            "turn_idx": pa.array([0, 0, 0], pa.int32()),
+            "role": ["user"] * 3,
+            "text": ["x", "y", "z"],
+            "tool": [None] * 3,
+            "ts": pa.array([100, 100, 100], pa.timestamp("us")),
+        }
+    )
+    qdir = str(tmp_path / "quarantine")
+    ok = cdc.replay(
+        ray.data.from_arrow(bad),
+        num_partitions=2,
+        on_error="quarantine",
+        quarantine_dir=qdir,
+    ).to_pandas()
+    assert ok["conv_id"].tolist() == ["a"]
+    qfiles = glob.glob(qdir + "/*.parquet")
+    assert qfiles
+    quarantined = pa.concat_tables([pq.read_table(f) for f in qfiles])
+    assert quarantined.num_rows == 2
+    assert set(quarantined.column("conv_id").to_pylist()) == {"b", "c"}
+
+
+def test_hot_conversation_stress(tmp_path):
+    """One conversation with 50k turns: salting must spread it across
+    partitions and the merged table must stay exact."""
+    import numpy as np
+
+    n = 50_000
+    turn = np.arange(n, dtype=np.int32) % 10_000
+    t = pa.table(
+        {
+            "lsn": pa.array(np.arange(n, dtype=np.int64)),
+            "op": ["upsert"] * n,
+            "conv_id": ["hot"] * n,
+            "turn_idx": pa.array(turn),
+            "role": ["user"] * n,
+            "text": [f"t{i}" for i in range(n)],
+            "tool": [None] * n,
+            "ts": pa.array((np.arange(n, dtype=np.int64) // 7) * 1_000_000, pa.timestamp("us")),
+        }
+    )
+    out = cdc.replay(
+        ray.data.from_arrow(t), num_partitions=16, keep_partition_col=True
+    ).to_pandas()
+    # every turn present exactly once; winner = max lsn per turn (ts grows with lsn)
+    assert len(out) == 10_000
+    assert out["partition_id"].nunique() >= 8  # hot conv spread by turn-range salt
+    w = out.set_index("turn_idx")["text"]
+    for turn_idx in (0, 1, 9_999):
+        last_lsn = max(i for i in range(n) if i % 10_000 == turn_idx)
+        assert w[turn_idx] == f"t{last_lsn}"

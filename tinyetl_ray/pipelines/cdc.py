@@ -108,13 +108,17 @@ def replay(
     keep_partition_col: bool = False,
     change_schema: pa.Schema | None = None,
     shuffle_blocks: int | None = None,
+    quarantine_dir: str | None = None,
 ) -> ray.data.Dataset:
     """Replay a change log (optionally over a base table) → merged transcript.
 
     Streaming end to end: the only materialization is the groupby shuffle.
     """
     schema = change_schema or union_change_schema(changes)
-    ds = changes.map_batches(DecodeValidate(schema, on_error=on_error), batch_format="pyarrow")
+    ds = changes.map_batches(
+        DecodeValidate(schema, on_error=on_error, quarantine_dir=quarantine_dir),
+        batch_format="pyarrow",
+    )
     ds = ds.map_batches(PreReduce(), batch_format="pyarrow")
     if base is not None:
         b = base.map_batches(
@@ -165,6 +169,7 @@ def replay_commit(
     num_partitions: int = 64,
     turn_block: int = DEFAULT_TURN_BLOCK,
     on_error: str = "raise",
+    quarantine_dir: str | None = None,
 ) -> list[dict[str, Any]]:
     """Apply change epochs to the committed table at ``table_root``.
 
@@ -233,7 +238,10 @@ def replay_commit(
             else {}
         )
 
-        ds = changes.map_batches(DecodeValidate(schema, on_error=on_error), batch_format="pyarrow")
+        ds = changes.map_batches(
+            DecodeValidate(schema, on_error=on_error, quarantine_dir=quarantine_dir),
+            batch_format="pyarrow",
+        )
         if wm:
             min_wm = min(wm.values())
             ds = ds.map_batches(

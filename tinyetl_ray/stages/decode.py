@@ -28,11 +28,21 @@ class DecodeValidate:
     the evolved schema is captured once; cheap to ship to tasks.
     """
 
-    def __init__(self, change_schema: pa.Schema | None = None, on_error: str = "raise"):
+    def __init__(
+        self,
+        change_schema: pa.Schema | None = None,
+        on_error: str = "raise",
+        quarantine_dir: str | None = None,
+    ):
         self.schema = change_schema or CHANGE_SCHEMA
-        if on_error not in ("raise", "drop"):
-            raise ValueError(f"on_error must be raise|drop, got {on_error!r}")
+        if on_error not in ("raise", "drop", "quarantine"):
+            raise ValueError(
+                f"on_error must be raise|drop|quarantine, got {on_error!r}"
+            )
+        if on_error == "quarantine" and not quarantine_dir:
+            raise ValueError("on_error='quarantine' requires quarantine_dir")
         self.on_error = on_error
+        self.quarantine_dir = quarantine_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = align_to(batch, self.schema)
@@ -53,5 +63,21 @@ class DecodeValidate:
                 raise ValueError(
                     f"{n_bad} malformed change events; first: {bad.to_pylist()}"
                 )
+            if self.on_error == "quarantine":
+                # dead-letter: bad rows land in the quarantine dir for later
+                # inspection/repair instead of vanishing (the reference just
+                # aborts; silent drops hide producer bugs at 10^10 events)
+                import os
+                import uuid
+
+                import pyarrow.parquet as pq
+
+                bad = t.filter(pc.invert(ok))
+                os.makedirs(self.quarantine_dir, exist_ok=True)
+                name = os.path.join(
+                    self.quarantine_dir, f"bad-{uuid.uuid4().hex[:12]}.parquet"
+                )
+                pq.write_table(bad, name + ".tmp")
+                os.replace(name + ".tmp", name)
             t = t.filter(ok)
         return t
