@@ -100,9 +100,27 @@ class MinHasher:
         return vals.min(axis=1)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in df["text"].fillna("")])
+        """Batch signatures: shingle hashes per doc (C-speed per doc), then
+        each of the num_perm universal hashes runs ONCE over the concatenated
+        shingle array with a segmented min (np.minimum.reduceat) — the
+        permutation loop is 128 vectorized passes over all docs at once, not
+        a Python loop per document."""
+        texts = df["text"].fillna("")
+        per_doc = [self.shingle_hashes(t) for t in texts]
+        lens = np.array([len(x) for x in per_doc], dtype=np.int64)
+        all_sh = (
+            np.concatenate(per_doc) if len(per_doc) else np.empty(0, np.uint64)
+        )
+        starts = np.zeros(len(per_doc), dtype=np.int64)
+        if len(per_doc) > 1:
+            starts[1:] = np.cumsum(lens)[:-1]
+        sigs = np.empty((len(df), self.num_perm), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i in range(self.num_perm):
+                vals = (self.a[i] * all_sh + self.b[i]) % _MERSENNE
+                sigs[:, i] = np.minimum.reduceat(vals, starts)
         out = df[["doc_id"]].copy()
-        out["sig"] = list(sigs.astype(np.uint64))
+        out["sig"] = list(sigs)
         return out
 
 
