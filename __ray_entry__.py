@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": p.events_sessionize,
         "sqlite_roundtrip": p.sqlite_roundtrip,
         "avro_roundtrip": p.avro_roundtrip,
+        "asof_join": p.asof_join_events_orders,
+        "range_join": p.range_join_events_parts,
         # --- wide operations ---
         "agg_orders_by_status": lambda sf: _round_cols(
             p.agg_orders_by_status(sf), {"sum_price": 2, "avg_price": 4}
@@ -301,6 +303,21 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sqlite_roundtrip": "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
         "avro_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "asof_join": """
+            SELECT e.event_id, e.user_id,
+                   (SELECT max(o.o_orderdate) FROM orders o
+                    WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+                     AS last_order_date
+            FROM events e
+        """,
+        "range_join": """
+            SELECT e.event_id,
+                   (SELECT COUNT(*) FROM part p
+                    WHERE p.p_retailprice >= e.value * 10
+                      AND p.p_retailprice <= e.value * 10 + 50)
+                     AS n_parts_in_range
+            FROM events e
+        """,
         "agg_orders_by_status": """
             SELECT o_orderstatus, COUNT(*) AS n_orders,
                    ROUND(SUM(o_totalprice), 2) AS sum_price,

@@ -77,6 +77,9 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
 
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    import logging
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
 
     from tinyetl_ray.pipelines import cdc
 

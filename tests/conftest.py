@@ -8,6 +8,8 @@ import ray
 
 @pytest.fixture(scope="session", autouse=True)
 def ray_session():
+    import logging
+
     ray.init(
         address="local",
         num_cpus=4,
@@ -17,5 +19,8 @@ def ray_session():
     )
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    # manifest-row stages legitimately emit a different schema than their
+    # data-row predecessors; Ray logs a WARNING per bundle otherwise
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
     yield
     ray.shutdown()

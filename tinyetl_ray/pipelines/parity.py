@@ -236,6 +236,90 @@ def sqlite_roundtrip(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def asof_join_events_orders(sf_dir: str) -> ray.data.Dataset:
+    """AS-OF JOIN (custom operator — Ray Data has none): for every event,
+    the latest order date of the matching customer at-or-before the event
+    time.
+
+    Strategy: the orders side is SMALL per key — broadcast {custkey →
+    sorted order-date array} once via ray.put; each batch answers with one
+    vectorized np.searchsorted per key-run. No shuffle at all. When BOTH
+    sides are large, the same kernel runs inside groupby(key).map_groups
+    after bucketing (partitioning assumption: all rows of a key share a
+    bucket)."""
+    import numpy as np
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).to_pandas()
+    orders["d"] = orders["o_orderdate"].astype("datetime64[us]").astype("int64")
+    by_key = {
+        k: np.sort(g["d"].to_numpy()) for k, g in orders.groupby("o_custkey")
+    }
+    ref = ray.put(by_key)
+
+    class AsOf:
+        def __init__(self):
+            self.by_key = ray.get(ref)  # once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            uid = df["user_id"].to_numpy()
+            out = np.full(len(df), np.nan)
+            # vectorized per distinct key present in the batch
+            for k in pd.unique(uid):
+                dates = self.by_key.get(k)
+                if dates is None:
+                    continue
+                m = uid == k
+                idx = np.searchsorted(dates, ts[m], side="right") - 1
+                vals = np.where(idx >= 0, dates[np.clip(idx, 0, None)], np.nan)
+                out[m] = vals
+            res = df[["event_id", "user_id"]].copy()
+            res["last_order_date"] = pd.to_datetime(out, unit="us")
+            return res
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+        .map_batches(AsOf, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    )
+
+
+def range_join_events_parts(sf_dir: str) -> ray.data.Dataset:
+    """RANGE JOIN (custom operator): per event, how many parts have
+    p_retailprice in [value*10, value*10 + 50].
+
+    Broadcast the sorted price array once; each batch answers every row with
+    two vectorized searchsorted calls — O(log n) per row, zero shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    prices = np.sort(
+        _read(sf_dir, "part", columns=["p_retailprice"]).to_pandas()[
+            "p_retailprice"
+        ].to_numpy()
+    )
+    ref = ray.put(prices)
+
+    class RangeCount:
+        def __init__(self):
+            self.prices = ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            lo = df["value"].to_numpy() * 10
+            hi = lo + 50
+            n = np.searchsorted(self.prices, hi, side="right") - np.searchsorted(
+                self.prices, lo, side="left"
+            )
+            out = df[["event_id"]].copy()
+            out["n_parts_in_range"] = n.astype("int64")
+            return out
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "value"])
+        .map_batches(RangeCount, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    )
+
+
 def agg_orders_by_status(sf_dir: str) -> ray.data.Dataset:
     """Grouped aggregate (Ray partial-agg shuffle): count + sum per status."""
     from ray.data.aggregate import Count, Mean, Sum
