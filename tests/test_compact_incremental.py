@@ -159,3 +159,30 @@ def test_replay_matches_oracle_property(events):
         assert len(got) == 0
     else:
         assert_frames_equal(got, want)
+
+
+def test_read_turn_point_lookup(tmp_path):
+    epochs, files = _write_epochs(tmp_path, n_epochs=2)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files, num_partitions=8)
+    full = cdc.read_table(root).to_pandas()
+    row = full.iloc[17]
+    got = cdc.read_turn(root, row["conv_id"], int(row["turn_idx"])).to_pandas()
+    assert len(got) == 1
+    assert got.iloc[0]["text"] == row["text"]
+    # absent key → empty with proper schema
+    missing = cdc.read_turn(root, "conv-does-not-exist", 0)
+    assert missing.num_rows == 0
+    assert "conv_id" in missing.column_names
+
+
+def test_table_stats(tmp_path):
+    epochs, files = _write_epochs(tmp_path, n_epochs=2)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files, num_partitions=8)
+    s = cdc.table_stats(root)
+    live = cdc.read_table(root).count()
+    assert s["live_rows"] == live
+    assert s["num_partitions"] == 8
+    assert s["epochs_committed"] == 2
+    assert s["tombstones"] > 0

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
-from ..schema import CHANGE_SCHEMA, align_to, evolve, evolve_all
+from ..schema import CHANGE_SCHEMA, align_to, evolve, evolve_all, transcript_schema_of
 from ..stages.decode import DecodeValidate
 from ..stages.merge import PreReduce, finalize_payload, lww_reduce
 from ..stages.partition import DEFAULT_TURN_BLOCK, PARTITION_COL, AddPartitionId
@@ -161,6 +161,55 @@ def read_table(table_root: str) -> ray.data.Dataset:
     return ds.map_batches(_view, batch_format="pyarrow")
 
 
+def read_turn(table_root: str, conv_id: str, turn_idx: int) -> pa.Table:
+    """Point lookup via partition pruning: (conv_id, turn_idx) routes to
+    exactly ONE partition (the same salted hash the writer used), so the
+    lookup reads a single snapshot file — not the table. This is the payoff
+    of deterministic routing; at 10^10 scale it is the difference between a
+    file read and a table scan."""
+    from ..stages.partition import partition_ids
+
+    commit = mf.latest_commit(table_root)
+    if commit is None:
+        raise FileNotFoundError(f"no committed epoch under {table_root}")
+    P = commit.get("num_partitions", len(commit["partitions"]))
+    tb = commit.get("turn_block", DEFAULT_TURN_BLOCK)
+    pid = int(
+        partition_ids(
+            pa.array([conv_id]), pa.array([turn_idx], pa.int32()), P, tb
+        )[0]
+    )
+    man = next((m for m in commit["partitions"] if m["partition"] == pid), None)
+    if man is None or man["rows"] == 0:
+        return transcript_schema_of(CHANGE_SCHEMA).empty_table()
+    t = pq.read_table(os.path.join(table_root, man["file"]))
+    t = t.filter(
+        pc.and_(
+            pc.equal(t.column("conv_id"), conv_id),
+            pc.equal(t.column("turn_idx"), pa.scalar(turn_idx, pa.int32())),
+        )
+    )
+    t = t.filter(pc.equal(t.column("op"), "upsert"))
+    return t.drop_columns(["lsn", "op"])
+
+
+def table_stats(table_root: str) -> dict[str, Any]:
+    """Operator-facing rollup of the latest commit + lineage."""
+    commit = mf.latest_commit(table_root)
+    if commit is None:
+        raise FileNotFoundError(f"no committed epoch under {table_root}")
+    parts = commit["partitions"]
+    return {
+        "epoch": commit["epoch"],
+        "watermark": commit["watermark"],
+        "num_partitions": commit.get("num_partitions", len(parts)),
+        "live_rows": sum(m.get("live_rows", m["rows"]) for m in parts),
+        "tombstones": sum(m.get("tombstones", 0) for m in parts),
+        "snapshot_files": sum(1 for m in parts if m["rows"] > 0),
+        "epochs_committed": len(mf.list_commits(table_root)),
+    }
+
+
 def replay_commit(
     table_root: str,
     epoch_files: list[list[str]],
@@ -197,6 +246,14 @@ def replay_commit(
       5. driver publishes the epoch commit (atomic rename) — exactly-once
 
     Returns the list of commit records (one per newly applied epoch).
+
+    SIZING (the one capacity rule): a merge task holds one partition's live
+    state + its epoch changes in memory (~2-3x the snapshot bytes during
+    sort). Pick ``num_partitions`` so snapshot_bytes ≈ total_live_bytes / P
+    fits a worker's heap with headroom — e.g. 10^10 events x ~200 B ≈ 2 TB
+    live → P = 4096 gives ~500 MB partitions, comfortably inside an 8 GB
+    worker. P is pinned at table creation; re-partitioning = compact into a
+    new table root with a different P.
     """
     commits: list[dict[str, Any]] = []
     for epoch, files in enumerate(epoch_files):
