@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sqlite_roundtrip": p.sqlite_roundtrip,
         "avro_roundtrip": p.avro_roundtrip,
         "asof_join": p.asof_join_events_orders,
+        "hash_join_native": p.hash_join_native,
         "range_join": p.range_join_events_parts,
         # --- wide operations ---
         "agg_orders_by_status": lambda sf: _round_cols(
@@ -303,6 +304,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sqlite_roundtrip": "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
         "avro_roundtrip": "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "hash_join_native": """
+            SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_name, c.c_mktsegment
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
         "asof_join": """
             SELECT e.event_id, e.user_id,
                    (SELECT max(o.o_orderdate) FROM orders o

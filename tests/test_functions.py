@@ -215,3 +215,21 @@ def test_frame_sample():
     frames = frame_sample(media)
     assert frames.num_rows > 8
     assert frames.column("frame_idx").to_pylist()[0] == 0
+
+
+def test_lsh_distributed_matches_union_find():
+    from tinyetl_ray.functions.dedup import lsh_clusters_distributed
+
+    df = dup_corpus()
+    lookup = dict(zip(df["doc_id"], df["text"]))
+    uf = minhash_lsh_clusters(
+        ray.data.from_pandas(df), threshold=0.0, verify=False, text_lookup=lookup
+    )
+    dist = lsh_clusters_distributed(ray.data.from_pandas(df)).to_pandas()
+    # same partition of doc_ids into clusters (labels may differ, grouping not)
+    def groups(frame, col):
+        return sorted(
+            tuple(sorted(g)) for _, g in frame.groupby(col)["doc_id"]
+        )
+
+    assert groups(uf, "cluster_id") == groups(dist, "cluster_id")

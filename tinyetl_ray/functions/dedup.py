@@ -232,6 +232,111 @@ def minhash_lsh_clusters(
     )
 
 
+def lsh_clusters_distributed(
+    ds: ray.data.Dataset,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_k: int = 5,
+    max_iters: int = 5,
+) -> ray.data.Dataset:
+    """Scale-path LSH clustering: candidate edges from banding, then
+    connected components via MIN-LABEL PROPAGATION expressed purely as
+    Dataset joins + groupby — no driver-side union-find, no broadcast label
+    map, so it works when the candidate set itself is huge.
+
+    Per iteration: every edge forwards its dst's current label to its src;
+    labels = min over (own label ∪ received). Near-dup clusters have tiny
+    diameter, so a handful of iterations reaches the fixpoint. Shuffles move
+    only (node, label) and (src, dst) int pairs.
+
+    The per-iteration lookup (label[dst] for each edge) is expressed as a
+    groupby-co-partitioned hash join — union the label rows and the edge
+    rows keyed on the same column, groupby(key).map_groups resolves each
+    bucket locally (ray_guide 'Joins and lookups': the portable partitioned
+    join). Ray 2.49's native Dataset.join mis-resolves key fields when a
+    participant's lineage already contains a join, so it is avoided here.
+    """
+    from ray.data.aggregate import Min
+
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        MinHasher,
+        batch_format="pandas",
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    banded = sigs.map_batches(
+        lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
+    )
+
+    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            # typed empty frame: untyped [] columns become object-dtype blocks
+            # and break the hash join's schema resolution
+            return pd.DataFrame(
+                {"src": pd.Series([], dtype="int64"), "dst": pd.Series([], dtype="int64")}
+            )
+        # star edges to the bucket min keep connectivity with O(n) edges
+        both = np.concatenate([ids[1:], np.full(len(ids) - 1, ids[0])])
+        other = np.concatenate([np.full(len(ids) - 1, ids[0]), ids[1:]])
+        return pd.DataFrame({"src": both.astype(np.int64), "dst": other.astype(np.int64)})
+
+    edges = (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(bucket_edges, batch_format="pandas")
+        .map_batches(
+            lambda df: df.drop_duplicates(), batch_format="pandas"
+        )
+    ).materialize()  # reused every iteration — small (band buckets only)
+
+    labels = ds.select_columns(["doc_id"]).map_batches(
+        lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].astype(np.int64), "label": df["doc_id"].astype(np.int64)}
+        ),
+        batch_format="pandas",
+    )
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # one co-partitioned bucket: exactly one label row (src == -1) plus
+        # the edges whose dst is this key; forward the label to each src and
+        # keep the node's own label
+        lab = int(g.loc[g["src"] == -1, "label"].min())
+        key = int(g["key"].iloc[0])
+        srcs = g.loc[g["src"] >= 0, "src"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate([[key], srcs]),
+                "label": np.full(1 + len(srcs), lab, dtype=np.int64),
+            }
+        )
+
+    for _ in range(max_iters):
+        l_rows = labels.map_batches(
+            lambda df: pd.DataFrame(
+                {"key": df["doc_id"], "src": np.int64(-1), "label": df["label"]}
+            ),
+            batch_format="pandas",
+        )
+        e_rows = edges.map_batches(
+            lambda df: pd.DataFrame(
+                {"key": df["dst"], "src": df["src"], "label": np.int64(-1)}
+            ),
+            batch_format="pandas",
+        )
+        labels = (
+            l_rows.union(e_rows)
+            .groupby("key")
+            .map_groups(_resolve, batch_format="pandas")
+            .groupby("doc_id")
+            .aggregate(Min("label", alias_name="label"))
+        ).materialize()  # bound the lineage per iteration
+    return labels.map_batches(
+        lambda df: df.rename(columns={"label": "cluster_id"}), batch_format="pandas"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -236,6 +236,17 @@ def sqlite_roundtrip(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def hash_join_native(sf_dir: str) -> ray.data.Dataset:
+    """Large-side ⋈ large-side via Ray's native hash-partitioned join
+    (Dataset.join, hash-shuffle both sides on the key). Use when neither
+    side fits a broadcast; the broadcast variant (join_orders_customer)
+    remains the right call for dimension tables."""
+    o = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    c = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+    j = o.join(c, "inner", num_partitions=16, on=("o_custkey",), right_on=("c_custkey",))
+    return j.select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"])
+
+
 def asof_join_events_orders(sf_dir: str) -> ray.data.Dataset:
     """AS-OF JOIN (custom operator — Ray Data has none): for every event,
     the latest order date of the matching customer at-or-before the event
