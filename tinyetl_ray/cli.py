@@ -249,6 +249,8 @@ def cmd_cdc(args) -> int:
             args.table, epoch_files,
             base_files=sorted_files(args.base) if args.base else None,
             num_partitions=args.partitions,
+            on_error="quarantine" if args.quarantine_dir else "raise",
+            quarantine_dir=args.quarantine_dir,
         )
         print(json.dumps({"applied_epochs": [c["epoch"] for c in commits]}))
     elif args.cdc_cmd == "compact":
@@ -315,6 +317,7 @@ def main(argv: list[str] | None = None) -> int:
     rep.add_argument("epochs", nargs="+")
     rep.add_argument("--base")
     rep.add_argument("--partitions", type=int, default=64)
+    rep.add_argument("--quarantine-dir", dest="quarantine_dir")
     cmp_ = csub.add_parser("compact")
     cmp_.add_argument("table")
     cmp_.add_argument("--keep-tombstones", action="store_true", dest="keep_tombstones")

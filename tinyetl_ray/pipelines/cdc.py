@@ -328,12 +328,19 @@ def replay_commit(
             # correctness — idempotence does the work.
             pid = int(group.column(PARTITION_COL)[0].as_py())
             t = group.drop_columns([PARTITION_COL])
+            n_events = len(t)  # group rows are this epoch's (pre-reduced) changes
+            n_deletes = pc.sum(
+                pc.cast(pc.equal(t.column("op"), "delete"), pa.int64())
+            ).as_py() or 0
             if pid in priors:
                 state = align_to(pq.read_table(priors[pid]), sch)
                 t = pa.concat_tables([t, state])
             merged = lww_reduce(t, keep_deletes=True)
             merged = finalize_payload(merged, drop_cols=())
             man = mf.write_snapshot(root, pid, ep, merged)
+            # per-epoch lineage metrics (not just snapshot totals)
+            man["events_applied"] = int(n_events)
+            man["delete_events"] = int(n_deletes)
             return pa.table({k: [man[k]] for k in man})
 
         man_rows = ds.groupby(PARTITION_COL).map_groups(_merge_write, batch_format="pyarrow")
