@@ -1,0 +1,66 @@
+#!/usr/bin/env bash
+# Example-suite runner — mirrors /root/reference/examples/run_all_examples.sh
+# (run each example, assert on outputs, tally pass/fail).
+set -u
+cd "$(dirname "$0")/.."
+export RAY_GRAFT_CPUS="${RAY_GRAFT_CPUS:-4}"
+SF="${GRAFT_SF_DIR:-/root/testdata/sf0.001}"
+OUT="$(mktemp -d /tmp/tinyetl-examples-XXXX)"
+pass=0; fail=0
+
+check() { # name condition
+  if eval "$2"; then echo "PASS $1"; pass=$((pass+1)); else echo "FAIL $1"; fail=$((fail+1)); fi
+}
+
+# 01: csv -> json basic copy
+python - <<PY
+import pandas as pd, pyarrow.parquet as pq
+pq.read_table("$SF/supplier.parquet").to_pandas().to_csv("$OUT/supplier.csv", index=False)
+PY
+python -m tinyetl_ray.cli transfer "$OUT/supplier.csv" "$OUT/01_json" --sniff-types --target-format json >/dev/null 2>&1
+check "01_csv_to_json" '[ -n "$(ls "$OUT/01_json"/*.json 2>/dev/null)" ] && [ "$(cat "$OUT/01_json"/*.json | wc -l)" -ge 10 ]'
+
+# 02: derived columns
+python -m tinyetl_ray.cli transfer "$OUT/supplier.csv" "$OUT/02_parquet" --sniff-types \
+  --transform "acct_annual = s_acctbal * 12; name_upper = upper(s_name)" \
+  --target-format parquet >/dev/null 2>&1
+check "02_derived_columns" 'python -c "
+import pyarrow.parquet as pq, glob
+t = pq.read_table(glob.glob(\"$OUT/02_parquet/*.parquet\")[0])
+assert \"acct_annual\" in t.column_names and \"name_upper\" in t.column_names
+" 2>/dev/null'
+
+# 03: schema validation with drop
+cat > "$OUT/schema.json" <<JSON
+{"columns": [
+  {"name": "s_suppkey", "type": "integer", "nullable": false},
+  {"name": "s_name", "type": "string", "pattern": "Supplier.*"},
+  {"name": "s_acctbal", "type": "decimal", "default": 0}
+]}
+JSON
+python -m tinyetl_ray.cli transfer "$OUT/supplier.csv" "$OUT/03_parquet" --sniff-types \
+  --schema-file "$OUT/schema.json" --drop-invalid --target-format parquet >/dev/null 2>&1
+check "03_schema_validation" '[ -n "$(ls "$OUT/03_parquet"/*.parquet 2>/dev/null)" ]'
+
+# 04: parquet -> csv with filter
+python -m tinyetl_ray.cli transfer "$SF/orders.parquet" "$OUT/04_csv" \
+  --filter "o_totalprice > 200000" --target-format csv >/dev/null 2>&1
+check "04_filtered_csv" '[ "$(cat "$OUT/04_csv"/*.csv | wc -l)" -gt 1 ]'
+
+# 05: CDC replay + resume + compact
+python - <<PY
+import pyarrow.parquet as pq
+from tinyetl_ray.synth import make_changes
+import os
+os.makedirs("$OUT/changes", exist_ok=True)
+for i, t in enumerate(make_changes(n_events=2000, n_convs=20, seed=5, n_epochs=2)):
+    pq.write_table(t, f"$OUT/changes/e{i}.parquet")
+PY
+python -m tinyetl_ray.cli cdc replay "$OUT/05_table" "$OUT/changes/e0.parquet" "$OUT/changes/e1.parquet" >/dev/null 2>&1
+python -m tinyetl_ray.cli cdc replay "$OUT/05_table" "$OUT/changes/e0.parquet" "$OUT/changes/e1.parquet" > "$OUT/05_rerun.json" 2>/dev/null
+python -m tinyetl_ray.cli cdc compact "$OUT/05_table" >/dev/null 2>&1
+check "05_cdc_replay_resume_compact" 'grep -q "\"applied_epochs\": \[\]" "$OUT/05_rerun.json" && [ -f "$OUT/05_table/_commits/LATEST" ]'
+
+echo "----------------------------------------"
+echo "examples: $pass passed, $fail failed (out: $OUT)"
+[ "$fail" -eq 0 ]
