@@ -91,62 +91,67 @@ def make_changes(
     deletes + re-upserts, duplicate events, hot conversations, and (from
     ``evolve_from_epoch`` on) an extra nullable ``model`` column."""
     rng = np.random.RandomState(seed)
-    lsn = start_lsn + np.arange(n_events, dtype=np.int64)
-    conv = _conv_ids(rng, n_events, n_convs, zipf_a=1.5)
-    turn_idx = rng.randint(0, max_turn, size=n_events).astype(np.int32)
-    is_del = rng.rand(n_events) < 0.08
+    conv0 = _conv_ids(rng, n_events, n_convs, zipf_a=1.5)
+    turn0 = rng.randint(0, max_turn, size=n_events).astype(np.int32)
+    is_del0 = rng.rand(n_events) < 0.08
     base_ts = np.int64(1_700_100_000_000_000)
+    lsn0 = np.arange(n_events, dtype=np.int64)
     # mostly increasing ts with jitter; coarse to seconds → equal-ts conflicts;
     # negative jitter → out-of-ts-order arrivals (earlier ts at later lsn)
-    ts = base_ts + lsn * 250_000 + rng.randint(-2_000_000, 2_000_000, size=n_events)
-    ts = (ts // 1_000_000) * 1_000_000
-    role = _ROLES[rng.randint(0, 4, size=n_events)]
-    tool_mask = role == "tool"
-    # string columns built with Arrow C++ kernels (np.char.* is single-core
-    # Python-slow at 10^7+ rows; this path generates the 64M-event bench log)
-    conv_str = pc.binary_join_element_wise(
-        pa.scalar("conv-"), pc.cast(pa.array(conv), pa.string()), ""
-    )
-    text = pc.binary_join_element_wise(
-        pa.scalar("edit:"),
-        pc.cast(pa.array(lsn), pa.string()),
-        pa.scalar("@"),
-        pc.cast(pa.array(conv), pa.string()),
-        "",
-    )
-    del_mask = pa.array(is_del)
-    nulls_s = pa.nulls(n_events, pa.string())
-    cols = {
-        "lsn": pa.array(lsn),
-        "op": pc.if_else(del_mask, pa.scalar("delete"), pa.scalar("upsert")),
-        "conv_id": conv_str,
-        "turn_idx": pa.array(turn_idx),
-        "role": pc.if_else(del_mask, nulls_s, pa.array(role)),
-        "text": pc.if_else(del_mask, nulls_s, text),
-        "tool": pc.if_else(
-            pa.array(tool_mask & ~is_del), pa.scalar("search"), nulls_s
-        ),
-        "ts": pa.array(ts, pa.timestamp("us")),
-    }
-    t = pa.table(cols).cast(CHANGE_SCHEMA)
+    ts0 = base_ts + lsn0 * 250_000 + rng.randint(-2_000_000, 2_000_000, size=n_events)
+    ts0 = (ts0 // 1_000_000) * 1_000_000
+    role_idx0 = rng.randint(0, 4, size=n_events).astype(np.int8)
 
-    # duplicate ~1% of events immediately after themselves (idempotence case),
-    # re-assigning lsn to keep it strictly increasing
+    # duplicate ~1% of events immediately after themselves (idempotence case)
     dup_idx = np.sort(rng.choice(n_events, size=max(1, n_events // 100), replace=False))
     order = np.sort(np.concatenate([np.arange(n_events), dup_idx]))
-    t = t.take(order)
-    new_lsn = start_lsn + np.arange(len(t), dtype=np.int64)
-    t = t.set_column(0, "lsn", pa.array(new_lsn, pa.int64()))
+    conv, turn_idx = conv0[order], turn0[order]
+    is_del, ts = is_del0[order], ts0[order]
+    role_idx = role_idx0[order]
+    n = len(order)
+    lsn = start_lsn + np.arange(n, dtype=np.int64)  # strictly increasing
 
-    # split into epochs; evolved epochs gain a nullable `model` column
-    bounds = np.linspace(0, len(t), n_epochs + 1).astype(int)
+    # Build Arrow PER EPOCH: a single pa.string() array caps at 2 GiB of
+    # offsets/bytes (int32), which a 10^8-row text column exceeds — chunked
+    # construction keeps every array small AND bounds peak memory. String
+    # kernels stay Arrow C++ (np.char.* is single-core Python-slow).
+    bounds = np.linspace(0, n, n_epochs + 1).astype(int)
     epochs = []
     for e in range(n_epochs):
-        part = t.slice(bounds[e], bounds[e + 1] - bounds[e])
+        lo, hi = bounds[e], bounds[e + 1]
+        m = hi - lo
+        c, tn, d = conv[lo:hi], turn_idx[lo:hi], is_del[lo:hi]
+        ls = lsn[lo:hi]
+        conv_str = pc.binary_join_element_wise(
+            pa.scalar("conv-"), pc.cast(pa.array(c), pa.string()), ""
+        )
+        text = pc.binary_join_element_wise(
+            pa.scalar("edit:"),
+            pc.cast(pa.array(ls), pa.string()),
+            pa.scalar("@"),
+            pc.cast(pa.array(c), pa.string()),
+            "",
+        )
+        del_mask = pa.array(d)
+        nulls_s = pa.nulls(m, pa.string())
+        role = pa.array(_ROLES[role_idx[lo:hi].astype(np.int64)], pa.string())
+        tool_mask = (role_idx[lo:hi] == 3) & ~d
+        cols = {
+            "lsn": pa.array(ls),
+            "op": pc.if_else(del_mask, pa.scalar("delete"), pa.scalar("upsert")),
+            "conv_id": conv_str,
+            "turn_idx": pa.array(tn),
+            "role": pc.if_else(del_mask, nulls_s, role),
+            "text": pc.if_else(del_mask, nulls_s, text),
+            "tool": pc.if_else(pa.array(tool_mask), pa.scalar("search"), nulls_s),
+            "ts": pa.array(ts[lo:hi], pa.timestamp("us")),
+        }
+        part = pa.table(cols).cast(CHANGE_SCHEMA)
         if evolve_from_epoch is not None and e >= evolve_from_epoch:
-            lsns = part.column("lsn").to_numpy()
-            model = np.char.add("m", (lsns % 3).astype(str))
-            part = part.append_column(pa.field("model", pa.string()), pa.array(model))
+            model = pc.binary_join_element_wise(
+                pa.scalar("m"), pc.cast(pa.array(ls % 3), pa.string()), ""
+            )
+            part = part.append_column(pa.field("model", pa.string()), model)
         epochs.append(part)
     return epochs
 
