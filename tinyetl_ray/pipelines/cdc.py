@@ -351,6 +351,9 @@ def replay_commit(
         if prev is not None:
             for m in prev["partitions"]:
                 if m["partition"] not in seen:
+                    m = dict(m)
+                    m["events_applied"] = 0  # untouched this epoch
+                    m["delete_events"] = 0
                     manifests.append(m)
         stats = {
             "epoch_secs": round(time.perf_counter() - t0, 3),
