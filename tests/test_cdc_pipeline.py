@@ -11,6 +11,7 @@ import pytest
 import ray.data
 
 from tinyetl_ray.pipelines import cdc
+from tinyetl_ray.schema import CHANGE_SCHEMA
 from tinyetl_ray.state import manifest as mf
 from tinyetl_ray.synth import make_base, make_changes
 
@@ -188,3 +189,44 @@ def test_hot_conversation_stress(tmp_path):
     for turn_idx in (0, 1, 9_999):
         last_lsn = max(i for i in range(n) if i % 10_000 == turn_idx)
         assert w[turn_idx] == f"t{last_lsn}"
+
+
+def test_read_table_column_pruning(small_log, tmp_path):
+    _, epochs, epoch_files = small_log
+    root = str(tmp_path / "table")
+    cdc.replay_commit(root, epoch_files, num_partitions=8)
+    slim = cdc.read_table(root, columns=["conv_id", "turn_idx"]).to_pandas()
+    full = cdc.read_table(root).to_pandas()
+    assert list(slim.columns) == ["conv_id", "turn_idx"]
+    assert len(slim) == len(full)
+    # evolved column requested → falls back to aligned read, still correct
+    ev = cdc.read_table(root, columns=["conv_id", "model"]).to_pandas()
+    assert list(ev.columns) == ["conv_id", "model"] and len(ev) == len(full)
+
+
+def test_unicode_and_long_text_torture(tmp_path):
+    texts = [
+        "emoji 🎉🚀 and ünïcödé — 中文テキスト; quotes \"'` and \\ backslash",
+        "x" * 5000,          # long text
+        "",                  # empty string (distinct from null)
+        "line\nbreaks\tand\ttabs",
+    ]
+    n = len(texts)
+    t = pa.table(
+        {
+            "lsn": pa.array(range(n), pa.int64()),
+            "op": ["upsert"] * n,
+            "conv_id": [f"c{i}" for i in range(n)],
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "role": ["user"] * n,
+            "text": texts,
+            "tool": [None] * n,
+            "ts": pa.array([1_000_000 * i for i in range(n)], pa.timestamp("us")),
+        }
+    ).cast(CHANGE_SCHEMA)
+    p = tmp_path / "torture.parquet"
+    pq.write_table(t, p)
+    root = str(tmp_path / "table")
+    cdc.replay_commit(root, [[str(p)]], num_partitions=4)
+    got = cdc.read_table(root).to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert got["text"].tolist() == texts  # per-turn text-exact through the lake

@@ -140,23 +140,41 @@ def replay(
 # ---------------------------------------------------------------------------
 
 
-def read_table(table_root: str) -> ray.data.Dataset:
+def read_table(table_root: str, columns: list[str] | None = None) -> ray.data.Dataset:
     """Public view of the committed table: latest snapshots, tombstones
     filtered, payload projected, stable (conv_id, turn_idx) order within
-    partitions (each snapshot was written key-sorted)."""
+    partitions (each snapshot was written key-sorted).
+
+    ``columns`` prunes AT THE PARQUET READ (plus the internal ``op`` column
+    for tombstone filtering) — a 2-column scan of a wide-text table never
+    deserializes the text bytes."""
     commit = mf.latest_commit(table_root)
     if commit is None:
         raise FileNotFoundError(f"no committed epoch under {table_root}")
     files = mf.snapshot_files(table_root, commit)
     if not files:
         return ray.data.from_arrow(pa.table({}))
-    ds = ray.data.read_parquet(files)
     schema = mf.schema_from_b64(commit["schema_b64"]) if "schema_b64" in commit else None
+    read_cols = None
+    if columns is not None:
+        read_cols = list(dict.fromkeys(list(columns) + ["op"]))
+        if schema is not None:
+            # evolved columns may be missing from older snapshot files; only
+            # push down the ones guaranteed present everywhere
+            base_names = set(CHANGE_SCHEMA.names)
+            if not set(read_cols) <= base_names:
+                read_cols = None  # fall back: align handles backfill
+    ds = ray.data.read_parquet(files, columns=read_cols)
 
     def _view(t: pa.Table, s: pa.Schema | None = schema) -> pa.Table:
-        if s is not None:
+        if read_cols is None and s is not None:
             t = align_to(t, s)  # older snapshots backfill evolved columns as null
-        return t.filter(pc.equal(t.column("op"), "upsert")).drop_columns(["lsn", "op"])
+        t = t.filter(pc.equal(t.column("op"), "upsert"))
+        drop = [c for c in ("lsn", "op") if c in t.column_names]
+        t = t.drop_columns(drop)
+        if columns is not None:
+            t = t.select([c for c in columns if c in t.column_names])
+        return t
 
     return ds.map_batches(_view, batch_format="pyarrow")
 
