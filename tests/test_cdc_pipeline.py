@@ -230,3 +230,28 @@ def test_unicode_and_long_text_torture(tmp_path):
     cdc.replay_commit(root, [[str(p)]], num_partitions=4)
     got = cdc.read_table(root).to_pandas().sort_values("conv_id").reset_index(drop=True)
     assert got["text"].tolist() == texts  # per-turn text-exact through the lake
+
+
+def test_task_retry_exactly_once(tmp_path):
+    """A pipeline task fails once (injected); Ray's task retry reruns it and
+    the final merged state is still exact — the 'exactly-once across
+    retries' property (SURVEY §7.3) exercised with a REAL mid-pipeline
+    failure, not a simulated rerun."""
+    epochs = make_changes(n_events=2000, n_convs=30, seed=21, n_epochs=1)
+    p = tmp_path / "log.parquet"
+    pq.write_table(epochs[0], p)
+    flag = tmp_path / "blew-up-once"
+
+    def flaky(t: pa.Table) -> pa.Table:
+        # kill the worker PROCESS (system failure → Ray task retry); a plain
+        # exception would be user-code and correctly fail the job instead
+        if not flag.exists():
+            flag.write_text("x")
+            os._exit(1)
+        return t
+
+    ds = ray.data.read_parquet(str(p)).map_batches(flaky, batch_format="pyarrow")
+    got = cdc.replay(ds, num_partitions=4).to_pandas()
+    assert flag.exists()  # the failure really fired
+    want = sequential_lww(epochs[0])
+    assert_frames_equal(got, want)
