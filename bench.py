@@ -187,6 +187,21 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
     cdc.replay(_amplified_changes(sf_dir), num_partitions=NUM_PARTITIONS).count()
     queries["cdc_replay_stream"] = round(time.perf_counter() - t0, 3)
 
+    # --- corpus-op breadth timings over the sf tables -------------------
+    import ray.data as rd
+
+    from tinyetl_ray.functions.dedup import exact_dedup
+    from tinyetl_ray.functions.text import TextStats
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(docs):
+        t0 = time.perf_counter()
+        rd.read_parquet(docs).map_batches(TextStats(), batch_format="pandas").count()
+        queries["text_stats"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        exact_dedup(rd.read_parquet(docs)).count()
+        queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
+
     return {
         "metric": "cdc_replay_commit_wide_sec",
         "value": round(headline, 3),

@@ -67,17 +67,22 @@ class QualityScore:
         n_tok = toks.str.len().clip(lower=1)
         langs = df.get(self.lang_col, pd.Series(["en"] * len(df), index=df.index))
 
-        def stop_hits(words, lang):
-            table = _STOPWORDS.get(lang, _STOPWORDS["en"])
-            return sum(w in table for w in words)
+        # vectorized over the EXPLODED token stream (index maps back to the
+        # row): per-language stopword hit-rates without a Python loop per doc
+        flat = toks.explode()
+        flat_lang = langs.reindex(flat.index)
+        hit = pd.Series(False, index=flat.index)
+        for lang, table in _STOPWORDS.items():
+            m = flat_lang == lang
+            if m.any():
+                hit[m] = flat[m].isin(table)
+        other = ~flat_lang.isin(list(_STOPWORDS))
+        if other.any():
+            hit[other] = flat[other].isin(_STOPWORDS["en"])
+        hits = hit.groupby(level=0).sum().reindex(df.index, fill_value=0)
+        wlen = flat.str.len()
+        mean_wlen = wlen.groupby(level=0).mean().reindex(df.index).fillna(0.0)
 
-        hits = pd.Series(
-            [stop_hits(w, la) for w, la in zip(toks, langs)], index=df.index
-        )
-        mean_wlen = pd.Series(
-            [float(np.mean([len(w) for w in ws])) if ws else 0.0 for ws in toks],
-            index=df.index,
-        )
         out = df.copy(deep=False)
         out["stop_ratio"] = hits / n_tok
         out["mean_word_len"] = mean_wlen
