@@ -207,6 +207,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_native": p.hash_join_native,
         "range_join": p.range_join_events_parts,
         # --- wide operations ---
+        "q1_lineitem": lambda sf: _round_cols(
+            p.q1_lineitem(sf), {"sum_qty": 2, "sum_revenue": 2, "avg_disc": 6}
+        ),
+        "anti_join_events": p.anti_join_events_customers,
         "agg_orders_by_status": lambda sf: _round_cols(
             p.agg_orders_by_status(sf), {"sum_price": 2, "avg_price": 4}
         ),
@@ -221,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": c.dedup_exact,
         "dedup_minhash": c.dedup_minhash,  # rows-only (LSH clusters)
         "dedup_simhash": c.dedup_simhash,  # rows-only (near-dup pairs)
+        "dedup_ngram_jaccard": c.dedup_ngram_jaccard,  # rows-only (LSH-pruned exact jaccard)
         "embedding_neardup": c.embedding_neardup,
         "ann_topk": c.ann_topk,
         "simsearch_ivf": c.simsearch_ivf,  # rows-only (approximate)
@@ -322,6 +327,20 @@ def oracle_sql() -> dict[str, str]:
                       AND p.p_retailprice <= e.value * 10 + 50)
                      AS n_parts_in_range
             FROM events e
+        """,
+        "q1_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "anti_join_events": """
+            SELECT e.event_id, e.user_id, e.event_type FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = e.user_id
+                                AND c.c_mktsegment = 'BUILDING')
         """,
         "agg_orders_by_status": """
             SELECT o_orderstatus, COUNT(*) AS n_orders,

@@ -152,6 +152,58 @@ def _band_rows(
     )
 
 
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+    text_lookup: dict | None = None,
+) -> pd.DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, LSH-pruned: candidate pairs come
+    from MinHash banding (never all-pairs), then the EXACT character-k-gram
+    Jaccard is computed for candidates only; pairs >= threshold survive.
+
+    ``text_lookup`` supplies candidate texts (broadcast once at test scale;
+    at corpus scale the exact-verify step joins candidates back to the
+    documents table by id within buckets)."""
+    rows_per_band = 128 // 32
+    sigs = ds.map_batches(
+        MinHasher, batch_format="pandas",
+        fn_constructor_kwargs={"num_perm": 128, "shingle_k": shingle_k},
+        concurrency=2, num_cpus=0.5,
+    )
+    banded = sigs.map_batches(
+        lambda df: _band_rows(df, 32, rows_per_band), batch_format="pandas"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+
+    cand = (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    if text_lookup is None:
+        texts = ds.select_columns(["doc_id", "text"]).to_pandas()
+        text_lookup = dict(zip(texts["doc_id"], texts["text"]))
+    sims = [
+        jaccard(text_lookup[a], text_lookup[b], k=shingle_k)
+        for a, b in zip(cand["a"], cand["b"])
+    ]
+    cand = cand.assign(jaccard=np.round(sims, 6))
+    out = cand[cand["jaccard"] >= threshold].reset_index(drop=True)
+    if not len(out):
+        out = pd.DataFrame({"a": [-1], "b": [-1], "jaccard": [-1.0]})
+    return out
+
+
 def jaccard(a: str, b: str, k: int = 5) -> float:
     def sh(s):
         return {s[i : i + k] for i in range(max(1, len(s) - k + 1))}

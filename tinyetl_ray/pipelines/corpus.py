@@ -87,6 +87,11 @@ def dedup_simhash(sf_dir: str):
     return out
 
 
+def dedup_ngram_jaccard(sf_dir: str):
+    """Rows-only: exact k-gram Jaccard pairs over LSH-pruned candidates."""
+    return dd.ngram_jaccard_pairs(_docs(sf_dir), threshold=0.3)
+
+
 def embedding_neardup(sf_dir: str) -> ray.data.Dataset:
     # threshold sized to the synthetic test embeddings (near-orthogonal random
     # vectors, max pairwise cosine ~0.51): verifies the pair-finding math;

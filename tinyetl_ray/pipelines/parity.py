@@ -331,6 +331,63 @@ def range_join_events_parts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q1_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q1 shape: pricing summary over lineitem — pre-computed revenue
+    column + grouped aggregate (column-pruned read)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    def add_revenue(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+        )
+        return t.append_column("revenue", rev)
+
+    return (
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=[
+                "l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount",
+            ],
+        )
+        .map_batches(add_revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("revenue", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+
+def anti_join_events_customers(sf_dir: str) -> ray.data.Dataset:
+    """ANTI JOIN via broadcast key set (ray_guide 'Semi / anti join'): events
+    whose user has no BUILDING-segment customer record — the key set ships
+    once via ray.put, each batch filters with a vectorized isin; no
+    shuffle."""
+    import numpy as np
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    keys = np.unique(cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy())
+    ref = ray.put(keys)
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            uid = t.column("user_id").to_numpy()
+            mask = ~np.isin(uid, self.keys)
+            return t.filter(pa.array(mask))
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "user_id", "event_type"])
+        .map_batches(AntiFilter, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    )
+
+
 def agg_orders_by_status(sf_dir: str) -> ray.data.Dataset:
     """Grouped aggregate (Ray partial-agg shuffle): count + sum per status."""
     from ray.data.aggregate import Count, Mean, Sum
