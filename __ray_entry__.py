@@ -247,7 +247,8 @@ def oracle_sql() -> dict[str, str]:
             WITH ch AS ({DERIVE_SQL})
             SELECT conv_id,
                    COUNT(*) AS n_events,
-                   SUM(CASE WHEN op = 'upsert' THEN 1 ELSE 0 END) AS n_upserts
+                   CAST(SUM(CASE WHEN op = 'upsert' THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_upserts
             FROM ch GROUP BY conv_id
         """,
         "transform_derive": """
@@ -359,8 +360,8 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _TEXT_STATS_SQL,
         "token_count_by_lang": r"""
             SELECT lang,
-                   SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
-                                       x -> x != ''))) AS total_tokens
+                   CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                            x -> x != ''))) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",

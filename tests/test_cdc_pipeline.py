@@ -130,6 +130,27 @@ def test_malformed_events_raise_or_drop():
     assert len(ok) == 1 and ok.iloc[0]["conv_id"] == "a"
 
 
+def test_null_ts_event_rejected():
+    """ts is the LWW tiebreak (sorted nulls-last): a null-ts event must be
+    rejected at decode, not silently win every merge."""
+    bad = pa.table(
+        {
+            "lsn": pa.array([1, 2], pa.int64()),
+            "op": ["upsert", "upsert"],
+            "conv_id": ["a", "a"],
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": ["user", "user"],
+            "text": ["real", "null-ts-imposter"],
+            "tool": [None, None],
+            "ts": pa.array([100, None], pa.timestamp("us")),
+        }
+    )
+    with pytest.raises(Exception):
+        cdc.replay(ray.data.from_arrow(bad), num_partitions=2).materialize()
+    ok = cdc.replay(ray.data.from_arrow(bad), num_partitions=2, on_error="drop").to_pandas()
+    assert ok["text"].tolist() == ["real"]
+
+
 def test_quarantine_dead_letter(tmp_path):
     import glob
 

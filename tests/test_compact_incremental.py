@@ -100,11 +100,77 @@ def test_compact_drops_tombstones_preserves_state(tmp_path):
     after = cdc.read_table(root).to_pandas()
     assert_frames_equal(after, before)
     assert sum(m["tombstones"] for m in c["partitions"]) == 0
-    # replay continues to work after compaction (partitioner preserved)
+    # replay continues to work after compaction (partitioner preserved) AND
+    # the post-compaction change epoch must actually APPLY: the compaction
+    # consumed a commit-epoch number, but change-epoch resume bookkeeping
+    # (last_change_epoch) must not let it shadow real change epochs
     extra = make_changes(n_events=500, n_convs=40, seed=99, n_epochs=1, start_lsn=50_000)[0]
     p = tmp_path / "extra.parquet"
     pq.write_table(extra, p)
-    cdc.replay_commit(root, files + [[str(p)], [str(p)]][:0] + [[str(p)]], num_partitions=8)
+    new_commits = cdc.replay_commit(root, files + [[str(p)]], num_partitions=8)
+    assert len(new_commits) == 1, "post-compaction change epoch was skipped"
+    final = cdc.read_table(root).to_pandas()
+    # oracle: dropping tombstones makes the compacted LIVE state the new
+    # base (the documented retention-window semantics — a dropped delete can
+    # no longer shadow an older-ts upsert), so replay `extra` over `before`
+    want = sequential_lww(extra, base=pa.Table.from_pandas(before, preserve_index=False))
+    assert_frames_equal(final, want)
+
+
+def test_compaction_does_not_shadow_change_epochs(tmp_path):
+    """Regression: compact() used to share the resume epoch counter with
+    replay_commit, silently skipping any change epoch indexed <= the
+    compaction's commit number."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=1)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files, num_partitions=8)
+    # keep tombstones: this test is about epoch bookkeeping, and dropped
+    # tombstones legitimately change replay results for overlapping-ts events
+    cdc.compact(root, drop_tombstones=False)  # commit epoch 1, change epoch still 0
+    cdc.compact(root, drop_tombstones=False)  # commit epoch 2
+    c = mf.latest_commit(root)
+    assert c["epoch"] == 2 and c["last_change_epoch"] == 0
+    # change epochs 1 and 2 arrive after two compactions
+    more = make_changes(n_events=800, n_convs=40, seed=7, n_epochs=2, start_lsn=80_000)
+    mfiles = []
+    for e, t in enumerate(more):
+        p = tmp_path / f"m{e}.parquet"
+        pq.write_table(t, p)
+        mfiles.append([str(p)])
+    applied = cdc.replay_commit(root, files + mfiles, num_partitions=8)
+    assert len(applied) == 2, "change epochs shadowed by compaction commits"
+    assert mf.latest_commit(root)["last_change_epoch"] == 2
+    got = cdc.read_table(root).to_pandas()
+    want = sequential_lww(pa.concat_tables(epochs + more))
+    assert_frames_equal(got, want)
+
+
+def test_compact_watermark_never_regresses(tmp_path):
+    """If a partition's max-lsn winner is a delete tombstone,
+    compact(drop_tombstones=True) must carry the prior watermark forward,
+    not recompute a lower one from surviving upserts."""
+    t = pa.table(
+        {
+            "lsn": pa.array([1, 2], pa.int64()),
+            "op": ["upsert", "delete"],
+            "conv_id": ["a", "a"],
+            "turn_idx": pa.array([0, 1], pa.int32()),
+            "role": ["user", None],
+            "text": ["hello", None],
+            "tool": [None, None],
+            "ts": pa.array([1_000_000, 2_000_000], pa.timestamp("us")),
+        }
+    ).cast(CHANGE_SCHEMA)
+    p = tmp_path / "e0.parquet"
+    pq.write_table(t, p)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, [[str(p)]], num_partitions=2)
+    wm_before = mf.latest_commit(root)["watermark"]
+    assert wm_before == 2  # the tombstone's lsn
+    c = cdc.compact(root, drop_tombstones=True)
+    assert c["watermark"] == wm_before, "compaction regressed the lsn watermark"
+    for m in c["partitions"]:
+        assert m["tombstones"] == 0
 
 
 def test_changes_since(tmp_path):

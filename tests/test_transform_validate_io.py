@@ -14,7 +14,13 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from tinyetl_ray.sources.io import SniffTypes, read_any, sniffed_read_csv, write_any
+from tinyetl_ray.sources.io import (
+    ApplyTypes,
+    read_any,
+    sniff_column_types,
+    sniffed_read_csv,
+    write_any,
+)
 from tinyetl_ray.stages.transform import (
     ExpressionTransform,
     FunctionTransform,
@@ -119,7 +125,8 @@ def test_sniff_types_matrix():
             "empties": ["", "a", ""],
         }
     )
-    out = SniffTypes()(df)
+    mapping = sniff_column_types(ray.data.from_pandas(df), list(df.columns))
+    out = ApplyTypes(mapping)(df)
     assert str(out["ints"].dtype) == "Int64"
     assert out["decs"].dtype == np.float64
     assert str(out["bools"].dtype) == "boolean"
@@ -127,6 +134,20 @@ def test_sniff_types_matrix():
     assert str(out["datetimes"].dtype).startswith("datetime64")
     assert out["mixed"].dtype == object  # mixed stays string (schema.rs:520-543)
     assert out["empties"].isna().tolist() == [True, False, True]  # "" → null
+
+
+def test_sniff_consensus_across_blocks(tmp_path):
+    """A bad value in only ONE block must demote the whole column to string
+    everywhere — per-batch sniffing would give blocks divergent schemas."""
+    a = tmp_path / "a.csv"
+    b = tmp_path / "b.csv"
+    pd.DataFrame({"v": ["1", "2", "3"], "w": ["7", "8", "9"]}).to_csv(a, index=False)
+    pd.DataFrame({"v": ["4", "oops", "6"], "w": ["10", "11", "12"]}).to_csv(b, index=False)
+    ds = sniffed_read_csv([str(a), str(b)])
+    out = ds.to_pandas()
+    assert out["v"].dtype == object  # demoted everywhere, values intact
+    assert set(out["v"]) == {"1", "2", "3", "4", "oops", "6"}
+    assert str(out["w"].dtype) == "Int64"  # clean column still promoted
 
 
 def test_io_roundtrip_and_column_order(tmp_path):

@@ -192,8 +192,13 @@ def cmd_transfer(args) -> int:
 
     t0 = time.perf_counter()
     write_any(ds, args.target, fmt=args.target_format)
-    n = ds.count()
     secs = time.perf_counter() - t0
+    # row count from target METADATA (parquet footers / line counts / avro
+    # block headers) — counting the lazy Dataset would re-execute the whole
+    # pipeline and skew the rows/sec stat
+    from .sources.io import count_written_rows
+
+    n = count_written_rows(args.target, fmt=args.target_format)
     # TransferStats parity (transfer.rs:15-20, :188-198)
     print(
         f"transferred {n} rows -> {args.target} "

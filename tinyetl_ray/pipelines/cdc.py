@@ -24,12 +24,20 @@ import os
 import time
 from typing import Any
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data
 
-from ..schema import CHANGE_SCHEMA, align_to, evolve, evolve_all, transcript_schema_of
+from ..schema import (
+    CHANGE_SCHEMA,
+    align_to,
+    evolve,
+    evolve_all,
+    strip_metadata,
+    transcript_schema_of,
+)
 from ..stages.decode import DecodeValidate
 from ..stages.merge import PreReduce, finalize_payload, lww_reduce
 from ..stages.partition import DEFAULT_TURN_BLOCK, PARTITION_COL, AddPartitionId
@@ -154,7 +162,11 @@ def read_table(table_root: str, columns: list[str] | None = None) -> ray.data.Da
     files = mf.snapshot_files(table_root, commit)
     if not files:
         return ray.data.from_arrow(pa.table({}))
-    schema = mf.schema_from_b64(commit["schema_b64"]) if "schema_b64" in commit else None
+    schema = (
+        strip_metadata(mf.schema_from_b64(commit["schema_b64"]))
+        if "schema_b64" in commit
+        else None
+    )
     read_cols = None
     if columns is not None:
         read_cols = list(dict.fromkeys(list(columns) + ["op"]))
@@ -228,6 +240,20 @@ def table_stats(table_root: str) -> dict[str, Any]:
     }
 
 
+def _last_change_epoch(commit: dict[str, Any] | None) -> int:
+    """Index of the newest CHANGE epoch applied to the table.
+
+    Compactions advance the snapshot/commit epoch counter but apply no change
+    events, so checkpoint resume must compare against the last *change* epoch
+    — comparing against the raw commit epoch would silently skip every change
+    epoch whose index <= a compaction's commit number (data loss)."""
+    if commit is None:
+        return -1
+    if "last_change_epoch" in commit:
+        return int(commit["last_change_epoch"])
+    return int(commit["epoch"])  # legacy commit predating the field
+
+
 def replay_commit(
     table_root: str,
     epoch_files: list[list[str]],
@@ -240,10 +266,13 @@ def replay_commit(
 ) -> list[dict[str, Any]]:
     """Apply change epochs to the committed table at ``table_root``.
 
-    ``epoch_files[e]`` = parquet files of epoch e (global epoch numbering —
-    the checkpoint resumes by SKIPPING epochs already committed, and inside an
-    epoch re-application is idempotent: snapshots rewrite identically and
-    events with lsn <= the partition watermark are filtered).
+    ``epoch_files[e]`` = parquet files of CHANGE epoch e (global change-epoch
+    numbering — the checkpoint resumes by SKIPPING change epochs already
+    applied, tracked as ``last_change_epoch`` in each commit so intervening
+    compactions — which advance the commit/snapshot epoch counter but apply
+    no events — never cause a change epoch to be skipped; inside an epoch
+    re-application is idempotent: snapshots rewrite identically and events
+    with lsn <= the partition watermark are filtered).
 
     ``base_files``: optional initial transcript table (the "table before the
     binlog tail started"). Applied only when bootstrapping (no prior commit):
@@ -274,10 +303,13 @@ def replay_commit(
     new table root with a different P.
     """
     commits: list[dict[str, Any]] = []
-    for epoch, files in enumerate(epoch_files):
+    for change_epoch, files in enumerate(epoch_files):
         prev = mf.latest_commit(table_root)
-        if prev is not None and prev["epoch"] >= epoch:
-            continue  # checkpoint resume: epoch already committed
+        if _last_change_epoch(prev) >= change_epoch:
+            continue  # checkpoint resume: change epoch already applied
+        # commit/snapshot numbering is independent of change-epoch indices
+        # (compactions consume commit epochs too)
+        commit_ep = prev["epoch"] + 1 if prev is not None else change_epoch
         t0 = time.perf_counter()
         if prev is not None:
             # the partitioner is a table property once the first epoch commits
@@ -330,20 +362,31 @@ def replay_commit(
             )
             ds = ds.union(b)
         ds = ds.map_batches(AddPartitionId(num_partitions, turn_block), batch_format="pyarrow")
+        if wm:
+            # Per-partition watermark prune (beyond the global-min filter
+            # above): partitions ahead of the min would otherwise re-merge
+            # already-applied events — correct under LWW idempotence, but
+            # wasted merge work. Vectorized gather against a tiny pid-indexed
+            # watermark array.
+            wm_arr = np.full(num_partitions, -1, dtype=np.int64)
+            for p, w in wm.items():
+                wm_arr[int(p)] = w
+
+            def _prune(t: pa.Table, w: np.ndarray = wm_arr) -> pa.Table:
+                pids = t.column(PARTITION_COL).to_numpy()
+                keep = t.column("lsn").to_numpy() > w[pids]
+                return t.filter(pa.array(keep))
+
+            ds = ds.map_batches(_prune, batch_format="pyarrow")
         ds = ds.repartition(default_shuffle_blocks())
 
         def _merge_write(
             group: pa.Table,
             root: str = table_root,
-            ep: int = epoch,
+            ep: int = commit_ep,
             priors: dict[int, str] = prior_snapshots,
             sch: pa.Schema = schema,
         ) -> pa.Table:
-            # Events already applied in a prior commit may still be present
-            # (between the global min watermark and this partition's own):
-            # re-reducing them with the state rows that already embody them is
-            # a no-op under LWW, so no per-partition filter is needed for
-            # correctness — idempotence does the work.
             pid = int(group.column(PARTITION_COL)[0].as_py())
             t = group.drop_columns([PARTITION_COL])
             n_events = len(t)  # group rows are this epoch's (pre-reduced) changes
@@ -380,11 +423,15 @@ def replay_commit(
         commits.append(
             mf.commit_epoch(
                 table_root,
-                epoch,
+                commit_ep,
                 manifests,
                 stats,
                 schema=schema,
-                extra={"num_partitions": num_partitions, "turn_block": turn_block},
+                extra={
+                    "num_partitions": num_partitions,
+                    "turn_block": turn_block,
+                    "last_change_epoch": change_epoch,
+                },
             )
         )
     return commits
@@ -421,13 +468,25 @@ def compact(table_root: str, drop_tombstones: bool = True) -> dict[str, Any]:
         AddPartitionId(num_partitions, turn_block), batch_format="pyarrow"
     )
 
-    def _rewrite(group: pa.Table, root: str = table_root, ep: int = epoch) -> pa.Table:
+    prior_wm = mf.partition_watermarks(prev)
+
+    def _rewrite(
+        group: pa.Table,
+        root: str = table_root,
+        ep: int = epoch,
+        pw: dict[int, int] = prior_wm,
+    ) -> pa.Table:
         pid = int(group.column(PARTITION_COL)[0].as_py())
         t = group.drop_columns([PARTITION_COL])
         if drop_tombstones:
             t = t.filter(pc.equal(t.column("op"), "upsert"))
         t = finalize_payload(t, drop_cols=())
         man = mf.write_snapshot(root, pid, ep, t)
+        # carry the prior watermark forward: if this partition's max-lsn
+        # winner was a dropped tombstone, recomputing from survivors would
+        # REGRESS the watermark and weaken the replay lsn filter /
+        # changes_since semantics
+        man["lsn_watermark"] = max(int(man["lsn_watermark"]), int(pw.get(pid, -1)))
         return pa.table({k: [man[k]] for k in man})
 
     manifests = (
@@ -460,7 +519,13 @@ def compact(table_root: str, drop_tombstones: bool = True) -> dict[str, Any]:
         manifests,
         stats,
         schema=schema,
-        extra={"num_partitions": num_partitions, "turn_block": turn_block},
+        extra={
+            "num_partitions": num_partitions,
+            "turn_block": turn_block,
+            # a compaction applies no change events: resume bookkeeping
+            # carries the last CHANGE epoch forward unchanged
+            "last_change_epoch": _last_change_epoch(prev),
+        },
     )
 
 

@@ -85,10 +85,18 @@ def evolve(base: pa.Schema, extra: pa.Schema) -> pa.Schema:
     return pa.schema(fields)
 
 
+def strip_metadata(schema: pa.Schema) -> pa.Schema:
+    """Drop schema- and field-level metadata (e.g. pandas metadata riding on
+    parquet footers). Dict-valued field metadata makes the schema unhashable,
+    which defeats Ray's schema-dedup during shuffles — every reduce task
+    re-ships the schema and logs a warning."""
+    return pa.schema([pa.field(f.name, f.type, nullable=f.nullable) for f in schema])
+
+
 def evolve_all(schemas: list[pa.Schema]) -> pa.Schema:
-    out = schemas[0]
+    out = strip_metadata(schemas[0])
     for s in schemas[1:]:
-        out = evolve(out, s)
+        out = evolve(out, strip_metadata(s))
     return out
 
 

@@ -250,6 +250,35 @@ def decode_container(data: bytes) -> pa.Table:
     return pa.table(dict(zip(names, arrays)))
 
 
+def count_container_rows(path: str) -> int:
+    """Row count from OCF block headers alone (each block leads with its
+    record count; the compressed payload is skipped, not decoded)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    r = _Reader(data)
+    if r.fixed(4) != MAGIC:
+        raise ValueError("not an Avro object container file")
+    while True:
+        n = r.long()
+        if n == 0:
+            break
+        if n < 0:
+            r.long()
+            n = -n
+        for _ in range(n):
+            r.string()
+            r.bytes_()
+    r.fixed(16)  # sync marker
+    total = 0
+    while r.pos < len(r.buf):
+        count = r.long()
+        size = r.long()
+        r.fixed(size)  # skip payload
+        r.fixed(16)  # sync
+        total += count
+    return total
+
+
 # ---------------------------------------------------------------------------
 # write
 # ---------------------------------------------------------------------------

@@ -10,9 +10,10 @@ Ray-native version: ``read_any``/``write_any`` dispatch to
 ``ray.data.read_{parquet,csv,json}`` / ``Dataset.write_*`` (streaming,
 distributed, no whole-file buffering — unlike the reference's Parquet/JSON
 targets which buffer the entire dataset in RAM,
-src/connectors/parquet.rs:456-464, json.rs:243-247). ``SniffTypes`` is a
-vectorized ``map_batches`` stage that promotes whole string columns to
-int64 / float64 / bool / timestamp when EVERY non-empty value parses —
+src/connectors/parquet.rs:456-464, json.rs:243-247). Type sniffing is
+two-phase: ``sniff_column_types`` runs a distributed consensus vote over
+every block (tiny per-block bitmask rows, no data materialized), then
+``ApplyTypes`` applies the one agreed column→type mapping uniformly —
 a deterministic, column-consistent strengthening of the reference's
 per-value vote (mixed columns stay strings both here and there,
 src/schema.rs:520-543).
@@ -72,6 +73,40 @@ def write_any(ds: ray.data.Dataset, path: str, fmt: str | None = None) -> str:
     return path
 
 
+def count_written_rows(path: str, fmt: str | None = None) -> int:
+    """Row count of a just-written target from METADATA only — parquet
+    footers, csv/jsonl line counts, avro block headers. Lets the CLI report
+    TransferStats without re-executing the (lazy) pipeline a second time."""
+    fmt = fmt or os.path.splitext(path)[1].lstrip(".").lower() or "parquet"
+    files = (
+        sorted(
+            os.path.join(path, f) for f in os.listdir(path) if not f.startswith(".")
+        )
+        if os.path.isdir(path)
+        else [path]
+    )
+    total = 0
+    if fmt == "parquet":
+        import pyarrow.parquet as pq
+
+        for f in files:
+            total += pq.ParquetFile(f).metadata.num_rows
+    elif fmt in ("csv", "json", "jsonl"):
+        header = 1 if fmt == "csv" else 0
+        for f in files:
+            with open(f, "rb") as fh:
+                n = sum(chunk.count(b"\n") for chunk in iter(lambda: fh.read(1 << 20), b""))
+            total += max(0, n - header)
+    elif fmt == "avro":
+        from .avro import count_container_rows
+
+        for f in files:
+            total += count_container_rows(f)
+    else:
+        raise ValueError(f"unsupported target format {fmt!r}")
+    return total
+
+
 # date formats the sniffer recognizes — the high-traffic subset of the
 # reference's DateParser matrix (src/date_parser.rs:64-116)
 _DATE_FORMATS = [
@@ -85,62 +120,130 @@ _DATE_FORMATS = [
 ]
 
 
-def _try_dates(ser: pd.Series) -> pd.Series | None:
-    nonnull = ser.dropna()
+_BOOL_WORDS = {"true": True, "false": False}
+
+# admissibility bitmask kinds for the consensus vote (int is also float-
+# admissible; the decision order below prefers the narrower type)
+_KIND_INT = 1
+_KIND_FLOAT = 2
+_KIND_BOOL = 4
+_KIND_DATE0 = 8  # << i per _DATE_FORMATS index
+
+
+def _column_vote(ser: pd.Series) -> tuple[int, bool]:
+    """(admissible-kinds bitmask, has any non-null value) for one batch's
+    slice of a string column. Vectorized pandas .str ops throughout."""
+    s = ser.replace("", np.nan)
+    nonnull = s.dropna()
     if nonnull.empty:
-        return None
-    for fmt in _DATE_FORMATS:
-        parsed = pd.to_datetime(ser, format=fmt, errors="coerce", utc=fmt.endswith("%z"))
-        if parsed[ser.notna()].notna().all():
-            if fmt.endswith("%z"):
-                parsed = parsed.dt.tz_convert("UTC").dt.tz_localize(None)
-            return parsed.astype("datetime64[us]")
-    return None
+        return (~0, False)  # no evidence: everything admissible
+    mask = 0
+    nonnull = nonnull.astype(str)
+    as_num = pd.to_numeric(nonnull, errors="coerce")
+    if as_num.notna().all():
+        mask |= _KIND_FLOAT
+        if nonnull.str.fullmatch(r"[+-]?\d+").all():
+            mask |= _KIND_INT
+    if nonnull.str.lower().isin(_BOOL_WORDS).all():
+        mask |= _KIND_BOOL
+    if not mask:  # only bother with date parses for non-numeric columns
+        for i, fmt in enumerate(_DATE_FORMATS):
+            parsed = pd.to_datetime(
+                nonnull, format=fmt, errors="coerce", utc=fmt.endswith("%z")
+            )
+            if parsed.notna().all():
+                mask |= _KIND_DATE0 << i
+    return (mask, True)
 
 
-class SniffTypes:
-    """Vectorized column-type sniffer: int64 → float64 → bool → timestamp →
-    string, whole-column consensus, empty string → null."""
+class _TypeVote:
+    """map_batches stage: one tiny row per block with each string column's
+    admissibility bitmask. The driver ANDs the rows — whole-column consensus
+    without materializing any data."""
 
-    _BOOL = {"true": True, "false": False}
+    def __init__(self, columns: list[str]):
+        self.columns = columns
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        row: dict[str, list] = {}
+        for name in self.columns:
+            mask, has = _column_vote(df[name])
+            row[f"{name}::mask"] = [np.int64(mask)]
+            row[f"{name}::has"] = [bool(has)]
+        return pd.DataFrame(row)
+
+
+def sniff_column_types(ds: ray.data.Dataset, columns: list[str]) -> dict[str, str]:
+    """Phase 1: distributed whole-column consensus over EVERY block.
+
+    Returns {column: kind} where kind ∈ {int, float, bool, date:<fmt>}.
+    Columns without a unanimous promotion stay out of the mapping (remain
+    string). One extra streaming pass over the source; at scale this is the
+    price of the documented column-consistent guarantee (a sample-based
+    sniff would silently null out non-conforming values it never saw)."""
+    votes = ds.map_batches(_TypeVote(columns), batch_format="pandas").take_all()
+    mapping: dict[str, str] = {}
+    for name in columns:
+        mask = ~0
+        has = False
+        for v in votes:
+            mask &= int(v[f"{name}::mask"])
+            has = has or bool(v[f"{name}::has"])
+        if not has or not mask:
+            continue
+        if mask & _KIND_INT:
+            mapping[name] = "int"
+        elif mask & _KIND_FLOAT:
+            mapping[name] = "float"
+        elif mask & _KIND_BOOL:
+            mapping[name] = "bool"
+        else:
+            for i, fmt in enumerate(_DATE_FORMATS):
+                if mask & (_KIND_DATE0 << i):
+                    mapping[name] = f"date:{fmt}"
+                    break
+    return mapping
+
+
+class ApplyTypes:
+    """Phase 2: apply one fixed column→type mapping uniformly to every batch
+    (cast-or-null safety net; consensus means errors cannot occur)."""
+
+    def __init__(self, mapping: dict[str, str]):
+        self.mapping = mapping
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out = {}
         for name in df.columns:
             ser = df[name]
-            if ser.dtype != object and not isinstance(ser.dtype, pd.StringDtype):
-                out[name] = ser
+            kind = self.mapping.get(name)
+            if kind is None or (
+                ser.dtype != object and not isinstance(ser.dtype, pd.StringDtype)
+            ):
+                out[name] = ser.replace("", np.nan) if ser.dtype == object else ser
                 continue
             s = ser.replace("", np.nan)
-            nonnull = s.dropna()
-            if nonnull.empty:
-                out[name] = s
-                continue
-            as_num = pd.to_numeric(nonnull, errors="coerce")
-            if as_num.notna().all():
-                full = pd.to_numeric(s, errors="coerce")
-                if (as_num.astype("float64") % 1 == 0).all() and nonnull.str.fullmatch(
-                    r"[+-]?\d+"
-                ).all():
-                    out[name] = full.astype("Int64")
-                else:
-                    out[name] = full.astype("float64")
-                continue
-            low = nonnull.str.lower()
-            if low.isin(self._BOOL).all():
-                out[name] = s.str.lower().map(self._BOOL).astype("boolean")
-                continue
-            dates = _try_dates(s)
-            if dates is not None:
-                out[name] = dates
-                continue
-            out[name] = s
+            if kind == "int":
+                out[name] = pd.to_numeric(s, errors="coerce").astype("Int64")
+            elif kind == "float":
+                out[name] = pd.to_numeric(s, errors="coerce").astype("float64")
+            elif kind == "bool":
+                out[name] = s.str.lower().map(_BOOL_WORDS).astype("boolean")
+            else:  # date:<fmt>
+                fmt = kind.split(":", 1)[1]
+                parsed = pd.to_datetime(s, format=fmt, errors="coerce", utc=fmt.endswith("%z"))
+                if fmt.endswith("%z"):
+                    parsed = parsed.dt.tz_convert("UTC").dt.tz_localize(None)
+                out[name] = parsed.astype("datetime64[us]")
         return pd.DataFrame(out)
 
 
 def sniffed_read_csv(paths: str | list[str], **kwargs) -> ray.data.Dataset:
     """CSV read where every column arrives as string and the sniffer promotes
-    types — mirrors the reference CSV source's dynamic typing end to end.
+    types — mirrors the reference CSV source's dynamic typing end to end,
+    strengthened to a true whole-column consensus (vote pass over all blocks,
+    then one fixed mapping applied uniformly — per-batch sniffing could give
+    different blocks different schemas).
 
     Accepts one path or a list (e.g. a directory of part files from a
     distributed CSV write) as ONE dataset — never union per-file datasets,
@@ -154,4 +257,5 @@ def sniffed_read_csv(paths: str | list[str], **kwargs) -> ray.data.Dataset:
         header = next(_csv.reader(f))
     convert = pacsv.ConvertOptions(column_types={h: pa.string() for h in header})
     ds = ray.data.read_csv(paths, convert_options=convert, **kwargs)
-    return ds.map_batches(SniffTypes(), batch_format="pandas")
+    mapping = sniff_column_types(ds, header)
+    return ds.map_batches(ApplyTypes(mapping), batch_format="pandas")

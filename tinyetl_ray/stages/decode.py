@@ -49,7 +49,13 @@ class DecodeValidate:
         ok = pc.and_kleene(
             pc.is_in(t.column("op"), value_set=pa.array(["upsert", "delete"])),
             pc.and_kleene(
-                pc.is_valid(t.column("lsn")),
+                pc.and_kleene(
+                    pc.is_valid(t.column("lsn")),
+                    # ts is the LWW tiebreak and lww_reduce sorts it with
+                    # nulls last — an unvalidated null-ts event would win
+                    # every merge unconditionally
+                    pc.is_valid(t.column("ts")),
+                ),
                 pc.and_kleene(
                     pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx"))
                 ),
