@@ -223,9 +223,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": c.doc_fingerprint,
         "lang_id": c.lang_id,  # rows-only (heuristic)
         "dedup_exact": c.dedup_exact,
-        "dedup_minhash": c.dedup_minhash,  # rows-only (LSH clusters)
-        "dedup_simhash": c.dedup_simhash,  # rows-only (near-dup pairs)
-        "dedup_ngram_jaccard": c.dedup_ngram_jaccard,  # rows-only (LSH-pruned exact jaccard)
+        "dedup_minhash": c.dedup_minhash,
+        "dedup_simhash": c.dedup_simhash,
+        "dedup_ngram_jaccard": c.dedup_ngram_jaccard,
         "embedding_neardup": c.embedding_neardup,
         "ann_topk": c.ann_topk,
         "simsearch_ivf": c.simsearch_ivf,  # rows-only (approximate)
@@ -233,7 +233,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+_SIMHASH_SIGS_GLOB = "/tmp/tinyetl-oracle/simhash_sigs/*.parquet"
+_LSH_EDGES_GLOB = "/tmp/tinyetl-oracle/lsh_edges/*.parquet"
+
+
+def _ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    """Two oracle SQLs read engine-written artifacts (simhash signatures,
+    verified LSH edges). The corresponding queries() callables write them,
+    but the driver's query/SQL execution order is unspecified — so
+    oracle_sql() defensively generates any missing artifact here. Both
+    producers are fully deterministic, so it does not matter which side
+    writes first."""
+    import glob
+
+    from tinyetl_ray.pipelines import corpus as c
+
+    try:
+        if not glob.glob(_SIMHASH_SIGS_GLOB):
+            c.dedup_simhash(sf_dir)  # writes signatures eagerly
+        if not glob.glob(_LSH_EDGES_GLOB):
+            c.dedup_minhash(sf_dir).materialize()  # writes verified edges
+    except Exception:
+        pass  # artifact generation is best-effort; queries also write them
+
+
 def oracle_sql() -> dict[str, str]:
+    _ensure_oracle_artifacts()
     payload = "conv_id, turn_idx, role, text, tool, ts"
     evolved_cols = payload + ", model"
     lww = _LWW_SQL.format(derive=DERIVE_SQL, cols=payload)
@@ -370,6 +395,52 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
               FROM documents
             ) WHERE rn = 1
+        """,
+        # all-pairs exact char-5-gram Jaccard — independent of the engine's
+        # LSH pruning (the threshold sits inside the corpus's similarity gap,
+        # so banding recall is ~1; see pipelines/corpus.dedup_ngram_jaccard)
+        "dedup_ngram_jaccard": """
+            WITH g AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(r AS INT), 5) AS gram
+              FROM (SELECT doc_id, text,
+                           unnest(range(1, greatest(length(text)-4, 1)+1)) AS r
+                    FROM documents)
+            ), sizes AS (SELECT doc_id, count(*) n FROM g GROUP BY 1),
+            i AS (
+              SELECT ga.doc_id AS a, gb.doc_id AS b, count(*) AS c
+              FROM g ga JOIN g gb USING (gram)
+              WHERE ga.doc_id < gb.doc_id GROUP BY 1, 2
+            )
+            SELECT a, b, ROUND(c / (sa.n + sb.n - c), 6) AS jaccard
+            FROM i JOIN sizes sa ON sa.doc_id = i.a
+                   JOIN sizes sb ON sb.doc_id = i.b
+            WHERE c / (sa.n + sb.n - c) >= 0.5
+        """,
+        # all-pairs hamming over the ENGINE-WRITTEN signatures: verifies that
+        # banded candidate generation is exact (pigeonhole) and hamming64 is
+        # right — bit_count(xor(..)) is DuckDB's independent popcount
+        "dedup_simhash": f"""
+            SELECT s1.doc_id AS a, s2.doc_id AS b,
+                   CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT)
+                     AS distance
+            FROM read_parquet('{_SIMHASH_SIGS_GLOB}') s1,
+                 read_parquet('{_SIMHASH_SIGS_GLOB}') s2
+            WHERE s1.doc_id < s2.doc_id
+              AND bit_count(xor(s1.simhash, s2.simhash)) <= 3
+        """,
+        # connected components over the ENGINE-WRITTEN verified edge list via
+        # a recursive CTE — min-reachable-id per doc must equal the engine's
+        # distributed min-label propagation
+        "dedup_minhash": f"""
+            WITH RECURSIVE e AS (
+              SELECT a, b FROM read_parquet('{_LSH_EDGES_GLOB}')
+            ), sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+            reach(a, b) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
+            )
+            SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -127,8 +127,14 @@ def test_minhash_lsh_clusters():
 
 def test_simhash_hamming_and_pairs():
     assert hamming64(np.array([0b1011]), np.array([0b0010]))[0] == 2
+    # popcount table vs naive python bit_count on random signatures
+    rng = np.random.RandomState(4)
+    a = rng.randint(0, 2**63, size=64, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, 2**63, size=64, dtype=np.int64).astype(np.uint64)
+    want = [int(x ^ y).bit_count() for x, y in zip(a.tolist(), b.tolist())]
+    assert hamming64(a, b).tolist() == want
     df = dup_corpus()
-    pairs = simhash_pairs(ray.data.from_pandas(df), max_distance=6)
+    pairs = simhash_pairs(ray.data.from_pandas(df), max_distance=6).to_pandas()
     # exact duplicates have distance 0 pairs
     zero = pairs[pairs["distance"] == 0]
     assert len(zero) >= 3
@@ -231,5 +237,67 @@ def test_lsh_distributed_matches_union_find():
         return sorted(
             tuple(sorted(g)) for _, g in frame.groupby(col)["doc_id"]
         )
+
+    assert groups(uf, "cluster_id") == groups(dist, "cluster_id")
+
+
+def test_char_gram_hashes_match_python_jaccard():
+    from tinyetl_ray.functions.dedup import char_gram_hashes, jaccard
+
+    pairs = [
+        ("the quick brown fox jumps over the lazy dog", "the quick brown fox leaps over the lazy dog"),
+        ("中文文档内容完全相同测试", "中文文档内容完全相同测试"),
+        ("中文文档内容完全相同测试", "中文文档内容有些不同测试"),
+        ("", ""),
+        ("ab", "ab"),
+        ("ab", "cd"),
+    ]
+    for a, b in pairs:
+        ga, gb = char_gram_hashes(a), char_gram_hashes(b)
+        inter = np.intersect1d(ga, gb, assume_unique=True).size
+        union = ga.size + gb.size - inter
+        got = 1.0 if union == 0 else inter / union
+        assert abs(got - jaccard(a, b)) < 1e-12, (a, b)
+
+
+def test_ngram_jaccard_distributed_matches_bruteforce():
+    from tinyetl_ray.functions.dedup import jaccard, ngram_jaccard_pairs
+
+    df = dup_corpus()
+    got = (
+        ngram_jaccard_pairs(ray.data.from_pandas(df), threshold=0.5)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    texts = dict(zip(df["doc_id"], df["text"]))
+    ids = sorted(texts)
+    want = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = jaccard(texts[a], texts[b])
+            if j >= 0.5:
+                want.append((a, b, round(j, 6)))
+    want_df = pd.DataFrame(want, columns=["a", "b", "jaccard"])
+    pd.testing.assert_frame_equal(got, want_df, check_dtype=False)
+
+
+def test_lsh_distributed_verified_matches_union_find_verified():
+    """Cluster equality with Jaccard VERIFY on both paths: driver union-find
+    (python jaccard on raw text) vs distributed propagation (hashed char
+    grams, co-partitioned verify)."""
+    from tinyetl_ray.functions.dedup import lsh_clusters_distributed
+
+    df = dup_corpus()
+    lookup = dict(zip(df["doc_id"], df["text"]))
+    uf = minhash_lsh_clusters(
+        ray.data.from_pandas(df), threshold=0.5, verify=True, text_lookup=lookup
+    )
+    dist = lsh_clusters_distributed(
+        ray.data.from_pandas(df), verify_threshold=0.5
+    ).to_pandas()
+
+    def groups(frame, col):
+        return sorted(tuple(sorted(g)) for _, g in frame.groupby(col)["doc_id"])
 
     assert groups(uf, "cluster_id") == groups(dist, "cluster_id")

@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -152,58 +153,6 @@ def _band_rows(
     )
 
 
-def ngram_jaccard_pairs(
-    ds: ray.data.Dataset,
-    threshold: float = 0.5,
-    shingle_k: int = 5,
-    text_lookup: dict | None = None,
-) -> pd.DataFrame:
-    """Exact n-gram Jaccard near-dup pairs, LSH-pruned: candidate pairs come
-    from MinHash banding (never all-pairs), then the EXACT character-k-gram
-    Jaccard is computed for candidates only; pairs >= threshold survive.
-
-    ``text_lookup`` supplies candidate texts (broadcast once at test scale;
-    at corpus scale the exact-verify step joins candidates back to the
-    documents table by id within buckets)."""
-    rows_per_band = 128 // 32
-    sigs = ds.map_batches(
-        MinHasher, batch_format="pandas",
-        fn_constructor_kwargs={"num_perm": 128, "shingle_k": shingle_k},
-        concurrency=2, num_cpus=0.5,
-    )
-    banded = sigs.map_batches(
-        lambda df: _band_rows(df, 32, rows_per_band), batch_format="pandas"
-    )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
-            )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
-
-    cand = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
-    if text_lookup is None:
-        texts = ds.select_columns(["doc_id", "text"]).to_pandas()
-        text_lookup = dict(zip(texts["doc_id"], texts["text"]))
-    sims = [
-        jaccard(text_lookup[a], text_lookup[b], k=shingle_k)
-        for a, b in zip(cand["a"], cand["b"])
-    ]
-    cand = cand.assign(jaccard=np.round(sims, 6))
-    out = cand[cand["jaccard"] >= threshold].reset_index(drop=True)
-    if not len(out):
-        out = pd.DataFrame({"a": [-1], "b": [-1], "jaccard": [-1.0]})
-    return out
-
-
 def jaccard(a: str, b: str, k: int = 5) -> float:
     def sh(s):
         return {s[i : i + k] for i in range(max(1, len(s) - k + 1))}
@@ -212,6 +161,221 @@ def jaccard(a: str, b: str, k: int = 5) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+# ---------------------------------------------------------------------------
+# distributed exact-Jaccard verification (the scale path: no driver text)
+# ---------------------------------------------------------------------------
+
+_GRAM_BASE = np.uint64(1099511628211)  # FNV prime, odd → bijective multiplier
+
+
+def char_gram_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Sorted unique 64-bit hashes of the CHARACTER k-grams of ``text`` —
+    codepoint windows (UTF-32 view), matching python ``s[i:i+k]`` slicing and
+    SQL ``substr`` semantics for non-ASCII text (byte windows would not).
+    A doc shorter than k yields its single short gram, like ``s[0:k]``."""
+    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    if len(cps) < k:
+        # pad with NUL (never in real text): one gram, equal iff texts equal
+        cps = np.concatenate([cps, np.zeros(k - len(cps), np.uint64)])
+    powers = _GRAM_BASE ** np.arange(k - 1, -1, -1, dtype=np.uint64)
+    windows = np.lib.stride_tricks.sliding_window_view(cps, k)
+    with np.errstate(over="ignore"):
+        return np.unique((windows * powers).sum(axis=1))
+
+
+class GramSigs:
+    """map_batches stage: (doc_id, text) → (doc_id, grams list<uint64>).
+
+    Per-doc gram hashing is one numpy pass over the doc's codepoints; the
+    list column ships as a zero-copy Arrow ListArray."""
+
+    def __init__(self, k: int = 5):
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t.column("text").to_pylist()
+        per = [char_gram_hashes(x or "", self.k) for x in texts]
+        lens = np.fromiter((len(p) for p in per), dtype=np.int64, count=len(per))
+        offsets = np.zeros(len(per) + 1, dtype=np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        values = np.concatenate(per) if per else np.empty(0, np.uint64)
+        grams = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(values, pa.uint64())
+        )
+        return pa.table(
+            {"doc_id": pc.cast(t.column("doc_id"), pa.int64()), "grams": grams}
+        )
+
+
+def verify_jaccard_pairs(
+    pairs: ray.data.Dataset, docs: ray.data.Dataset, shingle_k: int = 5
+) -> ray.data.Dataset:
+    """Exact char-k-gram Jaccard for candidate pairs (a < b), computed fully
+    distributed: no driver-side text or edge materialization.
+
+    Two co-partitioned groupby joins (ray_guide 'union on common key +
+    map_groups' — Ray 2.49's native join is avoided, see
+    lsh_clusters_distributed):
+      1. key = doc_id: one gram row per doc meets every pair-membership row
+         of that doc → each pair side picks up its gram set;
+      2. key = (a, b): the two sides meet → |A∩B| / |A∪B| via sorted-array
+         intersection. Duplicate candidates (same pair from several LSH
+         bands) collapse here: first row per side wins.
+    Shuffles move only (ints + gram-hash lists of candidate docs)."""
+    grams = docs.map_batches(GramSigs(shingle_k), batch_format="pyarrow")
+
+    def side_rows(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("a"), pa.int64()).to_numpy()
+        b = pc.cast(t.column("b"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, b])),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+                "grams": pa.nulls(2 * len(t), pa.list_(pa.uint64())),
+            }
+        )
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "key": t.column("doc_id"),
+                "a": pa.array(np.full(n, -1, np.int64)),
+                "b": pa.array(np.full(n, -1, np.int64)),
+                "grams": t.column("grams"),
+            }
+        )
+
+    unioned = pairs.map_batches(side_rows, batch_format="pyarrow").union(
+        grams.map_batches(gram_rows, batch_format="pyarrow")
+    )
+
+    def attach(g: pa.Table) -> pa.Table:
+        is_doc = pc.equal(g.column("a"), -1)
+        doc_rows = g.filter(is_doc)
+        pair_rows = g.filter(pc.invert(is_doc))
+        if doc_rows.num_rows == 0 or pair_rows.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "grams": pa.array([], pa.list_(pa.uint64())),
+                }
+            )
+        key = g.column("key")[0]
+        n = pair_rows.num_rows
+        side = pc.cast(pc.equal(pair_rows.column("b"), key), pa.int8())
+        gram_list = doc_rows.column("grams").slice(0, 1)
+        return pa.table(
+            {
+                "a": pair_rows.column("a"),
+                "b": pair_rows.column("b"),
+                "side": side,
+                "grams": pa.chunked_array([gram_list] * n)
+                if n > 1
+                else gram_list,
+            }
+        )
+
+    sided = unioned.groupby("key").map_groups(attach, batch_format="pyarrow")
+
+    def jac(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        i0 = int(np.argmax(side == 0)) if (side == 0).any() else -1
+        i1 = int(np.argmax(side == 1)) if (side == 1).any() else -1
+        if i0 < 0 or i1 < 0:  # partner doc missing from `docs`
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        ga = np.asarray(g.column("grams")[i0].as_py(), dtype=np.uint64)
+        gb = np.asarray(g.column("grams")[i1].as_py(), dtype=np.uint64)
+        inter = np.intersect1d(ga, gb, assume_unique=True).size
+        union = ga.size + gb.size - inter
+        j = 1.0 if union == 0 else inter / union
+        return pa.table(
+            {
+                "a": g.column("a").slice(0, 1),
+                "b": g.column("b").slice(0, 1),
+                "jaccard": pa.array([round(j, 6)], pa.float64()),
+            }
+        )
+
+    return sided.groupby(["a", "b"]).map_groups(jac, batch_format="pyarrow")
+
+
+def lsh_candidate_pairs(
+    ds: ray.data.Dataset,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    star_only: bool = False,
+) -> ray.data.Dataset:
+    """MinHash→LSH candidate pairs (a < b), deduplicated across bands.
+    ``star_only`` pairs every bucket member with the bucket minimum
+    (enough for connectivity/clustering, O(n) edges per bucket);
+    otherwise all in-bucket pairs (needed for complete pair listings)."""
+    rows_per_band = num_perm // bands
+    sigs = ds.map_batches(
+        MinHasher,
+        batch_format="pandas",
+        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
+        concurrency=2,
+        num_cpus=0.5,
+    )
+    banded = sigs.map_batches(
+        lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        if star_only:
+            return pd.DataFrame(
+                {"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+
+    return (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+    num_perm: int = 128,
+    bands: int = 16,
+) -> ray.data.Dataset:
+    """Exact n-gram Jaccard near-dup pairs, LSH-pruned, fully distributed:
+    candidates from MinHash banding (never all-pairs), exact char-k-gram
+    Jaccard via the co-partitioned verify — no driver-side text, no Python
+    per-pair loop.
+
+    Banding choice vs threshold: with bands=16 × rows=8 a pair at similarity
+    s survives with P = 1-(1-s^8)^16 — ≈1 for s ≥ 0.8, ≈6% at s = 0.5. Pick
+    bands/rows for the similarity band you must not miss (the engineered
+    near-dups in the test corpus sit at ≥0.92 with background ≤0.33, so the
+    default is sharp there)."""
+    cand = lsh_candidate_pairs(
+        ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, star_only=False
+    )
+    verified = verify_jaccard_pairs(cand, ds, shingle_k=shingle_k)
+    return verified.map_batches(
+        lambda t, th=threshold: t.filter(pc.greater_equal(t.column("jaccard"), th)),
+        batch_format="pyarrow",
+    )
 
 
 def minhash_lsh_clusters(
@@ -289,17 +453,22 @@ def lsh_clusters_distributed(
     num_perm: int = 128,
     bands: int = 32,
     shingle_k: int = 5,
-    max_iters: int = 5,
+    max_iters: int = 8,
+    verify_threshold: float | None = None,
+    edges_out: str | None = None,
 ) -> ray.data.Dataset:
-    """Scale-path LSH clustering: candidate edges from banding, then
-    connected components via MIN-LABEL PROPAGATION expressed purely as
-    Dataset joins + groupby — no driver-side union-find, no broadcast label
-    map, so it works when the candidate set itself is huge.
+    """Scale-path LSH clustering: candidate edges from banding, optionally
+    Jaccard-verified (distributed, exact char-k-gram — see
+    verify_jaccard_pairs), then connected components via MIN-LABEL
+    PROPAGATION expressed purely as Dataset unions + groupby — no
+    driver-side union-find, no broadcast label map, no driver text.
 
     Per iteration: every edge forwards its dst's current label to its src;
     labels = min over (own label ∪ received). Near-dup clusters have tiny
-    diameter, so a handful of iterations reaches the fixpoint. Shuffles move
-    only (node, label) and (src, dst) int pairs.
+    diameter, so a handful of iterations reaches the fixpoint; iteration
+    stops early when the label sum is unchanged (labels only decrease, so
+    an unchanged sum IS the fixpoint). Shuffles move only (node, label) and
+    (src, dst) int pairs.
 
     The per-iteration lookup (label[dst] for each edge) is expressed as a
     groupby-co-partitioned hash join — union the label rows and the edge
@@ -307,41 +476,41 @@ def lsh_clusters_distributed(
     bucket locally (ray_guide 'Joins and lookups': the portable partitioned
     join). Ray 2.49's native Dataset.join mis-resolves key fields when a
     participant's lineage already contains a join, so it is avoided here.
+
+    ``edges_out``: optional parquet path for the (verified, undirected)
+    edge list — the independent-oracle hook (DuckDB recursive-CTE connected
+    components over the same edges must reproduce the cluster ids).
     """
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Min, Sum
 
-    rows_per_band = num_perm // bands
-    sigs = ds.map_batches(
-        MinHasher,
-        batch_format="pandas",
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        concurrency=2,
-        num_cpus=0.5,
+    cand = lsh_candidate_pairs(
+        ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, star_only=True
     )
-    banded = sigs.map_batches(
-        lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
-    )
-
-    def bucket_edges(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
-            # typed empty frame: untyped [] columns become object-dtype blocks
-            # and break the hash join's schema resolution
-            return pd.DataFrame(
-                {"src": pd.Series([], dtype="int64"), "dst": pd.Series([], dtype="int64")}
-            )
-        # star edges to the bucket min keep connectivity with O(n) edges
-        both = np.concatenate([ids[1:], np.full(len(ids) - 1, ids[0])])
-        other = np.concatenate([np.full(len(ids) - 1, ids[0]), ids[1:]])
-        return pd.DataFrame({"src": both.astype(np.int64), "dst": other.astype(np.int64)})
-
-    edges = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_edges, batch_format="pandas")
-        .map_batches(
-            lambda df: df.drop_duplicates(), batch_format="pandas"
+    if verify_threshold is not None:
+        verified = verify_jaccard_pairs(cand, ds, shingle_k=shingle_k)
+        cand = verified.map_batches(
+            lambda t, th=verify_threshold: t.filter(
+                pc.greater_equal(t.column("jaccard"), th)
+            ).select(["a", "b"]),
+            batch_format="pyarrow",
         )
-    ).materialize()  # reused every iteration — small (band buckets only)
+    if edges_out is not None:
+        cand = cand.materialize()
+        cand.write_parquet(edges_out)
+
+    # mirror to both directions for propagation
+    def mirror(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("a"), pa.int64()).to_numpy()
+        b = pc.cast(t.column("b"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([a, b])),
+                "dst": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = cand.map_batches(mirror, batch_format="pyarrow").materialize()
+    # reused every iteration — small (band buckets only)
 
     labels = ds.select_columns(["doc_id"]).map_batches(
         lambda df: pd.DataFrame(
@@ -364,6 +533,7 @@ def lsh_clusters_distributed(
             }
         )
 
+    prev_sum: int | None = None
     for _ in range(max_iters):
         l_rows = labels.map_batches(
             lambda df: pd.DataFrame(
@@ -384,6 +554,11 @@ def lsh_clusters_distributed(
             .groupby("doc_id")
             .aggregate(Min("label", alias_name="label"))
         ).materialize()  # bound the lineage per iteration
+        # labels only decrease → unchanged sum == fixpoint (cheap scalar agg)
+        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
     return labels.map_batches(
         lambda df: df.rename(columns={"label": "cluster_id"}), batch_format="pandas"
     )
@@ -395,48 +570,86 @@ def lsh_clusters_distributed(
 
 
 class SimHasher:
-    """64-bit SimHash over word tokens (vectorized bit-vote accumulation)."""
+    """64-bit SimHash over word tokens, batch-vectorized: ALL documents'
+    tokens are hashed in one ``hash_strings`` call, the 64 bit-votes are
+    accumulated with a single segmented ``np.add.reduceat`` over the
+    concatenated token stream (the MinHasher pattern), and signatures are
+    bit-packed with one matmul-style reduction — no per-document Python."""
 
     def __init__(self, seed: int = 11):
         self.seed = seed
+        self._bit_idx = np.arange(64, dtype=np.uint64)
 
     def signature(self, text: str) -> np.uint64:
-        words = pa.array(text.lower().split() or [""])
-        h = hash_strings(words)
-        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
-            np.int64
+        return np.uint64(
+            self(pd.DataFrame({"doc_id": [0], "text": [text]}))["simhash"].iloc[0]
         )
-        votes = (2 * bits - 1).sum(axis=0)
-        sig = np.uint64(0)
-        for i in np.nonzero(votes > 0)[0]:
-            sig |= np.uint64(1) << np.uint64(i)
-        return sig
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks_per_doc = [t.split() or [""] for t in df["text"].fillna("").str.lower()]
+        lens = np.fromiter(
+            (len(x) for x in toks_per_doc), dtype=np.int64, count=len(toks_per_doc)
+        )
+        starts = np.zeros(len(toks_per_doc), dtype=np.int64)
+        if len(toks_per_doc) > 1:
+            starts[1:] = np.cumsum(lens)[:-1]
+        flat = pa.array(
+            [tok for doc in toks_per_doc for tok in doc], pa.string()
+        )
+        h = hash_strings(flat)  # (total_tokens,) uint64 — ONE call
+        # (total_tokens, 64) bit matrix → per-doc one-counts via reduceat
+        bits = ((h[:, None] >> self._bit_idx) & np.uint64(1)).astype(np.int32)
+        ones = (
+            np.add.reduceat(bits, starts, axis=0)
+            if len(flat)
+            else np.zeros((0, 64), np.int32)
+        )
+        votes = 2 * ones - lens[:, None]  # ones minus zeros
+        sig = ((votes > 0).astype(np.uint64) << self._bit_idx).sum(
+            axis=1, dtype=np.uint64
+        )
         out = df[["doc_id"]].copy()
-        out["simhash"] = [int(self.signature(t)) for t in df["text"].fillna("")]
+        out["simhash"] = sig.astype(np.int64)
         return out
 
 
+# 256-entry popcount table: hamming64 = table-gather over the 8 bytes of the
+# xor, vectorized (numpy 1.26 lacks np.bitwise_count)
+_POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(
+    axis=1
+).astype(np.uint8)
+
+
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    x = np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64))
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x >>= np.uint64(1)
-    return cnt
+    x = np.ascontiguousarray(np.bitwise_xor(a.astype(np.uint64), b.astype(np.uint64)))
+    return (
+        _POPCOUNT8[x.view(np.uint8).reshape(x.shape + (8,))]
+        .sum(axis=-1)
+        .astype(np.int64)
+    )
 
 
 def simhash_pairs(
-    ds: ray.data.Dataset, max_distance: int = 3
-) -> pd.DataFrame:
+    ds: ray.data.Dataset, max_distance: int = 3, sigs_out: str | None = None
+) -> ray.data.Dataset:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4 chunks of
-    16 bits (pigeonhole: distance ≤ 3 ⇒ at least one chunk identical),
-    groupby chunk value for candidates, verify exact hamming distance."""
+    16 bits (pigeonhole: distance ≤ 3 ⇒ at least one chunk identical, so the
+    banded candidate set provably contains EVERY pair within max_distance),
+    groupby chunk value for candidates, verify exact hamming distance,
+    dedupe across bands with a slim groupby — fully distributed, nothing on
+    the driver.
+
+    ``sigs_out``: optional parquet path for (doc_id, simhash) — the
+    independent-oracle hook: DuckDB's bit_count(xor(a, b)) over the same
+    signatures must reproduce the pair list exactly (banding is exact here,
+    not probabilistic)."""
     sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    if sigs_out is not None:
+        sigs = sigs.materialize()
+        sigs.write_parquet(sigs_out)
 
     def chunk_rows(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["simhash"].to_numpy(dtype=np.uint64)
+        s = df["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
         parts = []
         for c in range(4):
             chunk = (s >> np.uint64(16 * c)) & np.uint64(0xFFFF)
@@ -452,26 +665,35 @@ def simhash_pairs(
             )
         return pd.concat(parts, ignore_index=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(g: pd.DataFrame, maxd: int = max_distance) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "distance": pd.Series([], dtype="int64"),
+            }
+        )
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "distance": []})
+            return empty
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
         ia, ib = np.triu_indices(len(ids), k=1)
         d = hamming64(hs[ia], hs[ib])
-        return pd.DataFrame({"a": ids[ia], "b": ids[ib], "distance": d})
+        keep = d <= maxd  # filter INSIDE the bucket — nothing wide survives
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"a": ids[ia][keep], "b": ids[ib][keep], "distance": d[keep]}
+        )
 
-    pairs = (
+    return (
         sigs.map_batches(chunk_rows, batch_format="pandas")
         .groupby(["chunk", "value"])
         .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
-    if not len(pairs):
-        return pd.DataFrame({"a": [], "b": [], "distance": []})
-    pairs = pairs[pairs["distance"] <= max_distance]
-    return pairs.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
