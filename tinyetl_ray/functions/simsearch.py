@@ -115,6 +115,117 @@ def ivf_build(
     return kmeans_fit(_emb_matrix(sample_tbl, emb_col), n_clusters, seed=seed)
 
 
+def ivf_write(
+    ds: ray.data.Dataset,
+    centroids: np.ndarray,
+    out_dir: str,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> int:
+    """Write the embedding table PARTITIONED BY coarse centroid bucket
+    (``out_dir/bucket=K/...parquet``). This is the storage layout that makes
+    IVF probing an I/O saving, not just a compute mask: a probe reads only
+    nprobe/nlist of the files. Returns the number of buckets written."""
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    ref = ray.put(cent)
+
+    class AssignBucket:
+        def __init__(self):
+            self.cent = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vecs = _normalize(_emb_matrix(t, emb_col))
+            buckets = np.argmax(vecs @ self.cent.T, axis=1).astype(np.int32)
+            # hive partitioning strips the partition column from the data
+            # files, so carry a duplicate in-file copy for per-row masking
+            t = t.append_column("bucket", pa.array(buckets, pa.int32()))
+            return t.append_column("bucket_id", pa.array(buckets, pa.int32()))
+
+    ds.map_batches(
+        AssignBucket, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+    ).write_parquet(out_dir, partition_cols=["bucket"])
+    return len(cent)
+
+
+def ivf_topk_store(
+    store_dir: str,
+    query_mat: np.ndarray,
+    query_ids: np.ndarray,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """IVF top-k over a bucket-partitioned store: ONLY the union of the
+    queries' nprobe nearest buckets is read from disk (directory pruning at
+    the parquet read — the rest of the table is never deserialized). Inside
+    the read, each query further masks to its own probe list."""
+    import os
+
+    q = _normalize(np.asarray(query_mat, dtype=np.float64))
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    import glob
+
+    wanted = sorted(set(int(b) for b in probe.ravel()))
+    dirs: list[str] = []
+    for b in wanted:
+        dirs.extend(
+            sorted(glob.glob(os.path.join(store_dir, f"bucket={b}", "*.parquet")))
+        )
+    if not dirs:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        )
+    ds = ray.data.read_parquet(dirs)
+    ref = ray.put((np.asarray(query_ids), q, cent, probe))
+
+    class ProbeTopK:
+        def __init__(self):
+            self.qids, self.q, self.cent, self.probe = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = t.column(id_col).to_numpy()
+            vecs = _normalize(_emb_matrix(t, emb_col))
+            buckets = t.column("bucket_id").to_numpy().astype(np.int64)
+            sims = self.q @ vecs.T
+            allowed = np.zeros_like(sims, dtype=bool)
+            for qi in range(len(self.qids)):
+                allowed[qi] = np.isin(buckets, self.probe[qi])
+            sims = np.where(allowed, sims, -np.inf)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(self.qids, kk)
+            cand = ids[idx.ravel()]
+            s = np.take_along_axis(sims, idx, axis=1).ravel()
+            keep = np.isfinite(s)
+            return pa.table(
+                {
+                    "query_id": pa.array(rows[keep], pa.int64()),
+                    id_col: pa.array(cand[keep], pa.int64()),
+                    "sim": pa.array(np.round(s[keep], 6)),
+                }
+            )
+
+    local = ds.map_batches(ProbeTopK, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True], kind="mergesort")
+        return g.head(k)
+
+    return local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+
+
 def ivf_topk(
     ds: ray.data.Dataset,
     query_mat: np.ndarray,
