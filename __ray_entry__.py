@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sqlite_roundtrip": p.sqlite_roundtrip,
         "avro_roundtrip": p.avro_roundtrip,
         "asof_join": p.asof_join_events_orders,
+        "asof_join_partitioned": p.asof_join_partitioned,
         "hash_join_native": p.hash_join_native,
         "range_join": p.range_join_events_parts,
         # --- wide operations ---
@@ -249,6 +250,13 @@ def _ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> None:
     producers are fully deterministic, so it does not matter which side
     writes first."""
     import glob
+
+    import ray
+
+    if not ray.is_initialized():
+        # never auto-init a Ray session from here (e.g. during pytest
+        # collection); the queries() callables write the artifacts anyway
+        return
 
     from tinyetl_ray.pipelines import corpus as c
 
@@ -344,6 +352,13 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         """,
         "asof_join": """
+            SELECT e.event_id, e.user_id,
+                   (SELECT max(o.o_orderdate) FROM orders o
+                    WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+                     AS last_order_date
+            FROM events e
+        """,
+        "asof_join_partitioned": """
             SELECT e.event_id, e.user_id,
                    (SELECT max(o.o_orderdate) FROM orders o
                     WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
