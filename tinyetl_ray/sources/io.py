@@ -107,16 +107,39 @@ def count_written_rows(path: str, fmt: str | None = None) -> int:
     return total
 
 
-# date formats the sniffer recognizes — the high-traffic subset of the
-# reference's DateParser matrix (src/date_parser.rs:64-116)
+# date formats the sniffer recognizes — the full DateParser matrix of the
+# reference (src/date_parser.rs:11-116), in ITS priority order (RFC3339 and
+# datetime shapes first, then %m/%d before %d/%m for ambiguous numerics)
 _DATE_FORMATS = [
     "%Y-%m-%dT%H:%M:%S%z",
+    "%Y-%m-%dT%H:%M:%S.%f%z",
+    "%Y-%m-%dT%H:%M:%S.%f",
     "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%d %H:%M:%S.%f",
     "%Y-%m-%d %H:%M:%S",
+    "%m/%d/%Y %H:%M:%S",
+    "%d/%m/%Y %H:%M:%S",
+    "%Y-%m-%d %H:%M",
+    "%m/%d/%Y %H:%M",
+    "%d/%m/%Y %H:%M",
+    "%Y-%m-%d %I:%M:%S %p",
+    "%m/%d/%Y %I:%M:%S %p",
+    "%d/%m/%Y %I:%M:%S %p",
+    "%Y-%m-%d %I:%M %p",
+    "%m/%d/%Y %I:%M %p",
+    "%d/%m/%Y %I:%M %p",
     "%Y-%m-%d",
     "%m/%d/%Y",
+    "%d/%m/%Y",
+    "%m-%d-%Y",
+    "%d-%m-%Y",
+    "%Y/%m/%d",
     "%d.%m.%Y",
+    "%Y.%m.%d",
     "%b %d, %Y",
+    "%B %d, %Y",
+    "%d %b %Y",
+    "%d %B %Y",
 ]
 
 

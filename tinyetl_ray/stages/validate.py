@@ -50,6 +50,18 @@ class ColumnSpec:
         return _TYPES[self.type]
 
 
+def json_columns(schema: pa.Schema) -> list[str]:
+    """Columns marked ``tinyetl:type=json`` in field metadata — survives a
+    parquet round trip (pyarrow serializes the Arrow schema into the file),
+    so a reader can re-type declared-JSON string columns."""
+    out = []
+    for f in schema:
+        md = f.metadata or {}
+        if md.get(b"tinyetl:type") == b"json":
+            out.append(f.name)
+    return out
+
+
 class SchemaValidator:
     """``map_batches(SchemaValidator(specs), batch_format="pyarrow")``."""
 
@@ -110,8 +122,34 @@ class SchemaValidator:
                 m = pc.match_substring_regex(scol, f"^(?:{spec.pattern})$")
                 m = pc.fill_null(m, spec.nullable)  # nulls pass iff nullable
                 ok = pc.and_(ok, m)
+            # 5) json-typed columns: every non-null value must parse as JSON
+            # (schema.rs:168-189). Parsing is inherently per-value; this runs
+            # only for declared-json columns in a validation stage.
+            if spec.type == "json":
+                import json as _json
+
+                def _is_json(v) -> bool:
+                    try:
+                        _json.loads(v)
+                        return True
+                    except (ValueError, TypeError):
+                        return False
+
+                vals = col.to_pylist()
+                m = pa.array(
+                    [True if v is None else _is_json(v) for v in vals]
+                )
+                ok = pc.and_(ok, m)
             cols.append((spec.name, col))
-        out = pa.table(dict(cols))
+        fields = []
+        for spec, (name, col) in zip(self.specs, cols):
+            f = pa.field(name, col.type, nullable=True)
+            if spec.type == "json":
+                # round-trip marker the reference stores in parquet field
+                # metadata (src/schema.rs:318-329, connectors/parquet.rs:46-77)
+                f = f.with_metadata({b"tinyetl:type": b"json"})
+            fields.append(f)
+        out = pa.Table.from_arrays([c for _, c in cols], schema=pa.schema(fields))
         ok = pc.fill_null(ok, False)
         n_bad = n - (pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
         if n_bad:
