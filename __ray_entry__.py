@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": c.dedup_simhash,
         "dedup_ngram_jaccard": c.dedup_ngram_jaccard,
         "embedding_neardup": c.embedding_neardup,
+        "embedding_neardup_lsh": c.embedding_neardup_lsh,
         "ann_topk": c.ann_topk,
         "simsearch_ivf": c.simsearch_ivf,  # recall-contract row (see oracle)
         "multimodal_features": c.multimodal_features,  # rows-only (stub decode)
@@ -460,6 +461,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, s.b FROM reach r JOIN sym s ON s.a = r.b
             )
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+        """,
+        "embedding_neardup_lsh": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) > 0.45
         """,
         "embedding_neardup": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -234,8 +234,60 @@ def test_multimodal_plumbing():
 
 
 def test_codec_decoder_gated():
+    # formats that NEED codec libs still raise (the honest stub boundary)
+    import pyarrow as pa
+
+    jpegish = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "payload": pa.array([b"\xff\xd8\xff\xe0fakejpeg"], pa.binary()),
+        }
+    )
     with pytest.raises(NotImplementedError):
-        CodecDecoder()
+        CodecDecoder()(jpegish)
+
+
+def test_codec_decoder_real_formats():
+    """WAV / PPM / BMP round-trip: encode → decode → features, no codec libs."""
+    import pyarrow as pa
+
+    from tinyetl_ray.functions.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+        synth_media_real,
+    )
+
+    # lossless round trips
+    samples = np.sin(np.arange(1000) / 20.0)
+    got, rate = decode_wav(encode_wav(samples, rate=8000))
+    assert rate == 8000 and len(got) == 1000
+    assert np.allclose(got, samples, atol=1e-4)  # int16 quantization only
+
+    img = np.arange(5 * 7 * 3, dtype=np.uint8).reshape(5, 7, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+    # end-to-end over the actor pool
+    media = synth_media_real(30)
+    out = (
+        ray.data.from_arrow(media)
+        .map_batches(
+            CodecDecoder, batch_format="pyarrow", batch_size=8,
+            concurrency=2, num_cpus=0.5,
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert len(out) == 30
+    assert set(out["decoded_kind"]) == {"audio/wav", "image"}
+    audio = out[out["decoded_kind"] == "audio/wav"]
+    assert (audio["features"].str[0] == 8000.0).all()  # sample rate decoded
+    image = out[out["decoded_kind"] == "image"]
+    assert (image["features"].str[0] > 0).all()  # width decoded
 
 
 def test_frame_sample():

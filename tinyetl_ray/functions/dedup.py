@@ -701,6 +701,181 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
+def rp_lsh_candidate_pairs(
+    ds: ray.data.Dataset,
+    n_tables: int = 16,
+    n_bits: int = 4,
+    seed: int = 23,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Random-hyperplane LSH candidate pairs for cosine near-dup: each of
+    ``n_tables`` bands hashes a vector to the sign pattern of ``n_bits``
+    projections; same-bucket vectors pair up. The shuffle moves only
+    (table, bucket, vec_id) int rows — never embeddings. P(candidate) for a
+    pair at cosine s is 1-(1-p^b)^L with p = 1-arccos(s)/π."""
+    planes: np.ndarray | None = None  # lazily sized to the embedding dim
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        nonlocal planes
+        from .simsearch import _emb_matrix, _normalize
+
+        vecs = _normalize(_emb_matrix(t, emb_col))
+        if planes is None:
+            r = np.random.RandomState(seed)
+            planes = r.randn(n_tables * n_bits, vecs.shape[1])
+        bits = (vecs @ planes.T) > 0  # (n, L*b)
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy()
+        tables, hashes, out_ids = [], [], []
+        for ti in range(n_tables):
+            chunk = bits[:, ti * n_bits : (ti + 1) * n_bits]
+            hashes.append(chunk @ weights)
+            tables.append(np.full(len(ids), ti, np.int32))
+            out_ids.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(tables)),
+                "band_hash": pa.array(np.concatenate(hashes)),
+                "doc_id": pa.array(np.concatenate(out_ids)),
+            }
+        )
+
+    banded = ds.map_batches(band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+            )
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+
+    return (
+        banded.groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    )
+
+
+def verify_cosine_pairs(
+    pairs: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Exact cosine for candidate pairs, fully distributed: the same
+    two-stage co-partitioned groupby join as verify_jaccard_pairs, shipping
+    embedding vectors only for candidate ids."""
+
+    def side_rows(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("a"), pa.int64()).to_numpy()
+        b = pc.cast(t.column("b"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([a, b])),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+                "vec": pa.nulls(2 * len(t), pa.list_(pa.float64())),
+            }
+        )
+
+    def vec_rows(t: pa.Table) -> pa.Table:
+        from .simsearch import _emb_matrix, _normalize
+
+        vecs = _normalize(_emb_matrix(t, emb_col))
+        n, dim = vecs.shape
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32) * dim, pa.int32())
+        lst = pa.ListArray.from_arrays(offsets, pa.array(vecs.ravel(), pa.float64()))
+        return pa.table(
+            {
+                "key": pc.cast(t.column(id_col), pa.int64()),
+                "a": pa.array(np.full(n, -1, np.int64)),
+                "b": pa.array(np.full(n, -1, np.int64)),
+                "vec": lst,
+            }
+        )
+
+    unioned = pairs.map_batches(side_rows, batch_format="pyarrow").union(
+        ds.map_batches(vec_rows, batch_format="pyarrow")
+    )
+
+    def attach(g: pa.Table) -> pa.Table:
+        is_vec = pc.equal(g.column("a"), -1)
+        vec_row = g.filter(is_vec)
+        pair_rows = g.filter(pc.invert(is_vec))
+        if vec_row.num_rows == 0 or pair_rows.num_rows == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "vec": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        key = g.column("key")[0]
+        n = pair_rows.num_rows
+        side = pc.cast(pc.equal(pair_rows.column("b"), key), pa.int8())
+        v = vec_row.column("vec").slice(0, 1)
+        return pa.table(
+            {
+                "a": pair_rows.column("a"),
+                "b": pair_rows.column("b"),
+                "side": side,
+                "vec": pa.chunked_array([v] * n) if n > 1 else v,
+            }
+        )
+
+    sided = unioned.groupby("key").map_groups(attach, batch_format="pyarrow")
+
+    def cos(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if not (side == 0).any() or not (side == 1).any():
+            return empty
+        i0 = int(np.argmax(side == 0))
+        i1 = int(np.argmax(side == 1))
+        va = np.asarray(g.column("vec")[i0].as_py(), np.float64)
+        vb = np.asarray(g.column("vec")[i1].as_py(), np.float64)
+        return pa.table(
+            {
+                "id_a": g.column("a").slice(0, 1),
+                "id_b": g.column("b").slice(0, 1),
+                "sim": pa.array([round(float(va @ vb), 6)], pa.float64()),
+            }
+        )
+
+    return sided.groupby(["a", "b"]).map_groups(cos, batch_format="pyarrow")
+
+
+def embedding_neardup_lsh(
+    ds: ray.data.Dataset,
+    threshold: float = 0.45,
+    n_tables: int = 16,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Scale-path cosine near-dup: random-hyperplane LSH candidates (slim
+    shuffle) → distributed exact-cosine verify → threshold filter. Nothing
+    materializes on the driver and no full-matrix broadcast — this is the
+    10^9-vector shape; embedding_neardup_pairs stays as the exactness
+    baseline."""
+    cand = rp_lsh_candidate_pairs(ds, n_tables=n_tables, n_bits=n_bits, id_col=id_col)
+    verified = verify_cosine_pairs(cand, ds, id_col=id_col)
+    return verified.map_batches(
+        lambda t, th=threshold: t.filter(pc.greater(t.column("sim"), th)),
+        batch_format="pyarrow",
+    )
+
+
 def embedding_neardup_pairs(
     ds: ray.data.Dataset, threshold: float = 0.9, id_col: str = "vec_id"
 ) -> ray.data.Dataset:
@@ -708,8 +883,9 @@ def embedding_neardup_pairs(
 
     Full embedding matrix is broadcast ONCE via ray.put; each batch does one
     float64 matmul against it (never a per-row loop, never reshipped per
-    batch). O(n²) compute but O(n) shuffle — the brute-force baseline; the
-    LSH/IVF-bucketed variant in simsearch.py is the 10^9-vector path.
+    batch). O(n²) compute but O(n) shuffle — the labeled EXACTNESS BASELINE
+    (building the broadcast matrix inherently gathers all embeddings);
+    embedding_neardup_lsh above is the 10^9-vector path.
     """
     all_df = ds.to_pandas()
     ids_all = all_df[id_col].to_numpy()

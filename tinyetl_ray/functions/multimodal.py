@@ -82,24 +82,207 @@ class DeterministicFakeDecoder:
         )
 
 
+# ---------------------------------------------------------------------------
+# Real codecs implementable WITHOUT external libraries: WAV (stdlib `wave`),
+# PPM (P6) and 24-bit BMP (pure struct math). JPEG/PNG/MP3/H.264 stay behind
+# the NotImplementedError gate below — that part is an honest stub.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float[-1,1] or int16 mono samples → WAV bytes (stdlib wave)."""
+    import io
+    import wave
+
+    if samples.dtype != np.int16:
+        samples = (np.clip(samples, -1.0, 1.0) * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+        width = w.getsampwidth()
+        ch = w.getnchannels()
+    dt = {1: np.int8, 2: np.int16, 4: np.int32}[width]
+    arr = np.frombuffer(raw, dtype=dt).astype(np.float64)
+    if ch > 1:
+        arr = arr.reshape(-1, ch).mean(axis=1)
+    return arr / float(2 ** (8 * width - 1)), rate
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 → binary PPM (P6)."""
+    h, w, _ = img.shape
+    return f"P6\n{w} {h}\n255\n".encode() + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = three whitespace-separated tokens after P6 (comments skipped)
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, _maxval = tokens
+    return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
+        h, w, 3
+    )
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """HxWx3 uint8 RGB → uncompressed 24-bit BMP (bottom-up, BGR, padded)."""
+    import struct
+
+    h, w, _ = img.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = b"".join(
+        img[r, :, ::-1].astype(np.uint8).tobytes() + b"\x00" * pad
+        for r in range(h - 1, -1, -1)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + body
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    import struct
+
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise NotImplementedError(f"only uncompressed 24-bit BMP (got {bpp}bpp)")
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    out = np.empty((abs(h), w, 3), np.uint8)
+    for r in range(abs(h)):
+        start = off + r * (row + pad)
+        line = np.frombuffer(payload, np.uint8, count=row, offset=start).reshape(w, 3)
+        out[abs(h) - 1 - r if h > 0 else r] = line[:, ::-1]  # BGR→RGB
+    return out
+
+
 class CodecDecoder:
-    """REAL decode path, gated on codec availability (absent here).
+    """REAL decode path for codec-free formats: WAV (RIFF magic), PPM (P6),
+    24-bit BMP (BM). Emits unified feature rows: audio → [rate, n_samples,
+    rms, zero-crossing-rate] + 16-bin amplitude histogram; image → [width,
+    height, mean R, G, B] + 16-bin luminance histogram.
 
-    Cites the stub contract: swap `PIL.Image.open` / `soundfile.read` in
-    __init__; __call__ stays identical (binary in, feature list out).
-    """
+    Formats needing external codec libraries (JPEG/PNG/MP3/video) raise
+    NotImplementedError — that gate is the honest stub; swap in
+    `PIL.Image.open` / `soundfile.read` here when the libs exist. Runs as an
+    actor pool with small batch_size (payload bytes × batch × concurrency
+    must fit worker heap)."""
 
-    def __init__(self):
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError as err:
-            raise NotImplementedError(
-                "codec libraries are not available in this environment; "
-                "use DeterministicFakeDecoder for plumbing tests"
-            ) from err
+    def __init__(self, strict: bool = True):
+        self.strict = strict  # False → unknown formats get null features
 
-    def __call__(self, t: pa.Table) -> pa.Table:  # pragma: no cover
-        raise NotImplementedError
+    def _features(self, buf: bytes) -> tuple[str, list[float]] | None:
+        if buf.startswith(b"RIFF"):
+            samples, rate = decode_wav(buf)
+            zcr = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1]))) if len(samples) > 1 else 0.0
+            rms = float(np.sqrt(np.mean(samples**2))) if len(samples) else 0.0
+            hist, _ = np.histogram(samples, bins=16, range=(-1, 1))
+            hist = hist / max(1, hist.sum())
+            return "audio/wav", [float(rate), float(len(samples)), rms, zcr] + hist.tolist()
+        if buf.startswith(b"P6"):
+            img = decode_ppm(buf)
+        elif buf.startswith(b"BM"):
+            img = decode_bmp(buf)
+        else:
+            if self.strict:
+                raise NotImplementedError(
+                    "payload format needs codec libraries unavailable in this "
+                    "environment (only WAV/PPM/BMP decode without them)"
+                )
+            return None
+        lum = img.astype(np.float64).mean(axis=2)
+        hist, _ = np.histogram(lum, bins=16, range=(0, 255))
+        hist = hist / max(1, hist.sum())
+        h, w = img.shape[:2]
+        means = img.reshape(-1, 3).mean(axis=0)
+        return "image", [float(w), float(h), *means.tolist()] + hist.tolist()
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t.column("payload").combine_chunks()
+        kinds, feats = [], []
+        for i in range(len(payloads)):
+            buf = payloads[i].as_py() or b""
+            r = self._features(buf)
+            kinds.append(r[0] if r else None)
+            feats.append(r[1] if r else None)
+        return pa.table(
+            {
+                "media_id": t.column("media_id"),
+                "decoded_kind": pa.array(kinds, pa.string()),
+                "n_bytes": pa.array(
+                    [len(payloads[i].as_py() or b"") for i in range(len(payloads))],
+                    pa.int64(),
+                ),
+                "features": pa.array(feats, pa.list_(pa.float64())),
+            }
+        )
+
+
+def synth_media_real(n: int = 64, seed: int = 5) -> pa.Table:
+    """Deterministic media table with REAL payload formats: WAV sines, PPM
+    gradients, BMP checkers — end-to-end decodable by CodecDecoder."""
+    rng = np.random.RandomState(seed)
+    kinds, payloads = [], []
+    for i in range(n):
+        k = i % 3
+        if k == 0:
+            tgrid = np.arange(800 + (i % 5) * 100) / 8000.0
+            wave_ = np.sin(2 * np.pi * (200 + 50 * (i % 7)) * tgrid)
+            payloads.append(encode_wav(wave_))
+            kinds.append("audio")
+        elif k == 1:
+            h, w = 8 + i % 8, 8 + (i * 3) % 8
+            img = (
+                np.add.outer(np.arange(h) * 16, np.arange(w) * 8)[..., None]
+                + np.array([0, 40, 80])
+            ) % 256
+            payloads.append(encode_ppm(img.astype(np.uint8)))
+            kinds.append("image")
+        else:
+            h, w = 6 + i % 6, 6 + (i * 5) % 6
+            img = ((np.indices((h, w)).sum(axis=0) % 2) * 255).astype(np.uint8)
+            payloads.append(encode_bmp(np.stack([img] * 3, axis=-1)))
+            kinds.append("image")
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "kind": pa.array(kinds),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta_json": pa.array(["{}"] * n),
+        }
+    ).cast(MEDIA_SCHEMA)
 
 
 def frame_sample(t: pa.Table, every: int = 32, frame: int = 16) -> pa.Table:

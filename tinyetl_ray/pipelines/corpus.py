@@ -110,8 +110,18 @@ def dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
 def embedding_neardup(sf_dir: str) -> ray.data.Dataset:
     # threshold sized to the synthetic test embeddings (near-orthogonal random
     # vectors, max pairwise cosine ~0.51): verifies the pair-finding math;
-    # production near-dup would use ~0.9+ on real embeddings
+    # production near-dup would use ~0.9+ on real embeddings. This is the
+    # labeled EXACTNESS BASELINE (broadcast full matrix); the scale path is
+    # embedding_neardup_lsh below.
     return dd.embedding_neardup_pairs(_embs(sf_dir), threshold=0.45)
+
+
+def embedding_neardup_lsh(sf_dir: str) -> ray.data.Dataset:
+    """Scale-path cosine near-dup: random-hyperplane LSH candidates (slim
+    shuffle, no matrix broadcast) → distributed exact-cosine verify. Same
+    all-pairs oracle as the baseline — banding recall is ~1 at this
+    threshold/band shape for the corpus's similarity distribution."""
+    return dd.embedding_neardup_lsh(_embs(sf_dir), threshold=0.45)
 
 
 def _query_matrix(sf_dir: str, n: int = 5) -> tuple[np.ndarray, np.ndarray]:
@@ -162,11 +172,13 @@ def simsearch_ivf(sf_dir: str):
 
 
 def multimodal_features(sf_dir: str) -> ray.data.Dataset:
-    """Rows-only: binary-payload decode plumbing (deterministic fake decoder
-    — codec libs absent; see functions.multimodal)."""
-    media = mm.synth_media(256)
+    """Rows-only: REAL binary-payload decode end to end — WAV (stdlib wave),
+    PPM and 24-bit BMP payloads decoded by the actor-pool CodecDecoder
+    (formats needing codec libraries stay behind its NotImplementedError
+    gate; DeterministicFakeDecoder remains for plumbing tests)."""
+    media = mm.synth_media_real(256)
     return ray.data.from_arrow(media).map_batches(
-        mm.DeterministicFakeDecoder,
+        mm.CodecDecoder,
         batch_format="pyarrow",
         batch_size=32,
         concurrency=2,
