@@ -64,7 +64,9 @@ SELECT {cols} FROM ranked WHERE rn = 1 AND op = 'upsert'
 
 
 def _events(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    from tinyetl_ray.sources.io import clean_read_parquet
+
+    return clean_read_parquet(os.path.join(sf_dir, "events.parquet"))
 
 
 def _changes(sf_dir: str, with_model: bool = False) -> ray.data.Dataset:

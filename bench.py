@@ -58,7 +58,9 @@ def _amplified_changes(sf_dir: str):
             out.append(derive_changes_batch(t))
         return pa.concat_tables(out)
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet")).map_batches(
+    from tinyetl_ray.sources.io import clean_read_parquet
+
+    return clean_read_parquet(os.path.join(sf_dir, "events.parquet")).map_batches(
         amp, batch_format="pyarrow"
     )
 
@@ -188,18 +190,17 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
     queries["cdc_replay_stream"] = round(time.perf_counter() - t0, 3)
 
     # --- corpus-op breadth timings over the sf tables -------------------
-    import ray.data as rd
-
     from tinyetl_ray.functions.dedup import exact_dedup
     from tinyetl_ray.functions.text import TextStats
+    from tinyetl_ray.sources.io import clean_read_parquet
 
     docs = os.path.join(sf_dir, "documents.parquet")
     if os.path.exists(docs):
         t0 = time.perf_counter()
-        rd.read_parquet(docs).map_batches(TextStats(), batch_format="pandas").count()
+        clean_read_parquet(docs).map_batches(TextStats(), batch_format="pandas").count()
         queries["text_stats"] = round(time.perf_counter() - t0, 3)
         t0 = time.perf_counter()
-        exact_dedup(rd.read_parquet(docs)).count()
+        exact_dedup(clean_read_parquet(docs)).count()
         queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
 
     return {

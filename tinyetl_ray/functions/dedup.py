@@ -48,7 +48,9 @@ def exact_dedup(
         # two texts; in-group equality keeps the result exact.
         s = t.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
         h = pd.util.hash_array(s).astype(np.int64)
-        return t.append_column("_h", pa.array(h))
+        # drop schema-level metadata (e.g. pandas-written parquet): an
+        # unhashable schema makes every shuffle reduce re-ship it
+        return t.replace_schema_metadata(None).append_column("_h", pa.array(h))
 
     def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")

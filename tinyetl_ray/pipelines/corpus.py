@@ -26,11 +26,15 @@ LSH_EDGES_DIR = os.path.join(ORACLE_ART, "lsh_edges")
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    from ..sources.io import clean_read_parquet
+
+    return clean_read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
 def _embs(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from ..sources.io import clean_read_parquet
+
+    return clean_read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def text_stats(sf_dir: str) -> ray.data.Dataset:

@@ -17,13 +17,15 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..sources.io import sniffed_read_csv, write_any
+from ..sources.io import clean_read_parquet, sniffed_read_csv, write_any
 from ..stages.transform import ExpressionTransform
 from ..stages.validate import ColumnSpec, SchemaValidator
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    # clean_read strips the testdata's pandas schema metadata (unhashable →
+    # Ray re-ships schemas per shuffle task otherwise)
+    return clean_read_parquet(
         os.path.join(sf_dir, f"{table}.parquet"), columns=columns
     )
 

@@ -43,6 +43,28 @@ _EXT_READERS = {
 }
 
 
+def clean_read_parquet(path, **kwargs) -> ray.data.Dataset:
+    """read_parquet with schema-level metadata dropped. Files written by
+    pandas carry a schema-level 'pandas' metadata dict that makes pa.Schema
+    UNHASHABLE — Ray then re-ships every block's schema through each read
+    task and shuffle reduce instead of deduplicating ('Failed to hash the
+    schemas' warning per task). Passing an explicitly stripped schema to the
+    read keeps even the read-operator-internal blocks clean; a post-read
+    strip map is the fallback for directory/list inputs."""
+    if "schema" not in kwargs and isinstance(path, str) and os.path.isfile(path):
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path).remove_metadata()
+        cols = kwargs.get("columns")
+        if cols is not None:
+            schema = pa.schema([schema.field(c) for c in cols])
+        return ray.data.read_parquet(path, schema=schema, **kwargs)
+    ds = ray.data.read_parquet(path, **kwargs)
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None), batch_format="pyarrow"
+    )
+
+
 def read_any(path: str, **kwargs) -> ray.data.Dataset:
     """Dispatch on extension like the reference's create_source
     (src/connectors/mod.rs:67-101)."""
