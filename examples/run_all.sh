@@ -61,6 +61,43 @@ python -m tinyetl_ray.cli cdc replay "$OUT/05_table" "$OUT/changes/e0.parquet" "
 python -m tinyetl_ray.cli cdc compact "$OUT/05_table" >/dev/null 2>&1
 check "05_cdc_replay_resume_compact" 'grep -q "\"applied_epochs\": \[\]" "$OUT/05_rerun.json" && [ -f "$OUT/05_table/_commits/LATEST" ]'
 
+# 06: http source via loopback server (bearer-authenticated download-to-temp)
+python - "$OUT" <<'PY' >/dev/null 2>&1
+import http.server, os, subprocess, sys, threading
+
+out = sys.argv[1]
+body = b"id,name\n1,ada\n2,grace\n3,katherine\n"
+
+class H(http.server.BaseHTTPRequestHandler):
+    def do_GET(self):
+        if self.headers.get("Authorization") != "Bearer s3cret-tok":
+            self.send_response(401); self.end_headers(); return
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+    def log_message(self, *a):
+        pass
+
+srv = http.server.HTTPServer(("127.0.0.1", 0), H)
+threading.Thread(target=srv.serve_forever, daemon=True).start()
+rc = subprocess.run(
+    [sys.executable, "-m", "tinyetl_ray.cli", "transfer",
+     f"http://127.0.0.1:{srv.server_address[1]}/people.csv",
+     os.path.join(out, "06_parquet"),
+     "--sniff-types", "--target-format", "parquet",
+     "--option", "auth.bearer=s3cret-tok"],
+    capture_output=True,
+).returncode
+srv.shutdown()
+sys.exit(rc)
+PY
+check "06_http_source" 'python -c "
+import pyarrow.parquet as pq, glob
+files = glob.glob(\"$OUT/06_parquet/*.parquet\")
+assert files and sum(pq.ParquetFile(f).metadata.num_rows for f in files) == 3
+" 2>/dev/null'
+
 echo "----------------------------------------"
 echo "examples: $pass passed, $fail failed (out: $OUT)"
 [ "$fail" -eq 0 ]
