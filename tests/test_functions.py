@@ -419,3 +419,40 @@ def test_lsh_distributed_verified_matches_union_find_verified():
         return sorted(tuple(sorted(g)) for _, g in frame.groupby(col)["doc_id"])
 
     assert groups(uf, "cluster_id") == groups(dist, "cluster_id")
+
+
+def test_rp_lsh_production_regime():
+    """In the production near-dup regime (threshold ~0.9) random-hyperplane
+    banding must PRUNE (candidates << all pairs) while keeping recall 1 on
+    planted duplicates. The correctness-corpus setting (threshold 0.45 near
+    the random baseline) cannot prune — this test pins the regime where the
+    operator's scale story actually holds."""
+    from tinyetl_ray.functions.dedup import rp_lsh_candidate_pairs, verify_cosine_pairs
+
+    rng = np.random.RandomState(11)
+    n, dim = 600, 32
+    base = rng.randn(n, dim)
+    rows, planted = [], []
+    vid = 0
+    for i in range(n):
+        rows.append({"vec_id": vid, "embedding": base[i].astype(np.float32).tolist()})
+        vid += 1
+    # plant 20 near-duplicates (cosine ~0.97-0.99)
+    for i in range(20):
+        v = base[i] + rng.randn(dim) * 0.08
+        planted.append((i, vid))
+        rows.append({"vec_id": vid, "embedding": v.astype(np.float32).tolist()})
+        vid += 1
+    ds = ray.data.from_pandas(pd.DataFrame(rows))
+    cand = rp_lsh_candidate_pairs(ds, n_tables=8, n_bits=12).to_pandas()
+    total_pairs = vid * (vid - 1) // 2
+    assert len(cand) < total_pairs * 0.05, (len(cand), total_pairs)  # real pruning
+    got_pairs = {tuple(sorted(p)) for p in zip(cand["a"], cand["b"])}
+    assert all(tuple(sorted(p)) in got_pairs for p in planted)  # recall 1
+    verified = verify_cosine_pairs(
+        ray.data.from_pandas(cand[["a", "b"]]), ds
+    ).to_pandas()
+    hits = verified[verified["sim"] > 0.9]
+    assert {tuple(sorted(p)) for p in zip(hits["id_a"], hits["id_b"])} >= {
+        tuple(sorted(p)) for p in planted
+    }

@@ -28,6 +28,20 @@ import ray.data
 
 from ..hashing import hash_strings
 
+
+def _shuffle_blocks() -> int:
+    """Block count for slim intermediate tables between shuffle stages.
+    groupby().map_groups() emits one tiny block per group; feeding those
+    straight into the next shuffle makes task count — not data — the cost
+    (measured: label blocks grew 192→320 per propagation iteration and each
+    iteration doubled in wall time). Coalesce to ~cores/2, floor 8."""
+    try:
+        cores = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cores = 16
+    return max(8, cores // 2)
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
@@ -283,7 +297,11 @@ def verify_jaccard_pairs(
             }
         )
 
-    sided = unioned.groupby("key").map_groups(attach, batch_format="pyarrow")
+    sided = (
+        unioned.groupby("key")
+        .map_groups(attach, batch_format="pyarrow")
+        .repartition(_shuffle_blocks())  # coalesce per-group fragments
+    )
 
     def jac(g: pa.Table) -> pa.Table:
         side = g.column("side").to_numpy(zero_copy_only=False)
@@ -325,7 +343,7 @@ def lsh_candidate_pairs(
         MinHasher,
         batch_format="pandas",
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        concurrency=2,
+        concurrency=(2, 8),
         num_cpus=0.5,
     )
     banded = sigs.map_batches(
@@ -348,8 +366,10 @@ def lsh_candidate_pairs(
     return (
         banded.groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
+        .repartition(_shuffle_blocks())  # coalesce per-group fragments
         .groupby(["a", "b"])
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .repartition(_shuffle_blocks())
     )
 
 
@@ -402,7 +422,7 @@ def minhash_lsh_clusters(
     sigs = ds.map_batches(
         MinHasher, batch_format="pandas",
         fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        concurrency=2, num_cpus=0.5,
+        concurrency=(2, 8), num_cpus=0.5,
     )
     banded = sigs.map_batches(
         lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
@@ -487,7 +507,7 @@ def lsh_clusters_distributed(
 
     cand = lsh_candidate_pairs(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, star_only=True
-    )
+    ).materialize()  # consumed by verify AND mirrored below — never re-derive
     if verify_threshold is not None:
         verified = verify_jaccard_pairs(cand, ds, shingle_k=shingle_k)
         cand = verified.map_batches(
@@ -495,9 +515,8 @@ def lsh_clusters_distributed(
                 pc.greater_equal(t.column("jaccard"), th)
             ).select(["a", "b"]),
             batch_format="pyarrow",
-        )
+        ).materialize()
     if edges_out is not None:
-        cand = cand.materialize()
         cand.write_parquet(edges_out)
 
     # mirror to both directions for propagation
@@ -553,8 +572,10 @@ def lsh_clusters_distributed(
             l_rows.union(e_rows)
             .groupby("key")
             .map_groups(_resolve, batch_format="pandas")
+            .repartition(_shuffle_blocks())  # per-group fragments → bounded blocks
             .groupby("doc_id")
             .aggregate(Min("label", alias_name="label"))
+            .repartition(_shuffle_blocks())  # keep next iteration's task count flat
         ).materialize()  # bound the lineage per iteration
         # labels only decrease → unchanged sum == fixpoint (cheap scalar agg)
         cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
@@ -645,7 +666,7 @@ def simhash_pairs(
     independent-oracle hook: DuckDB's bit_count(xor(a, b)) over the same
     signatures must reproduce the pair list exactly (banding is exact here,
     not probabilistic)."""
-    sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=(2, 8), num_cpus=0.5)
     if sigs_out is not None:
         sigs = sigs.materialize()
         sigs.write_parquet(sigs_out)
@@ -693,6 +714,7 @@ def simhash_pairs(
         sigs.map_batches(chunk_rows, batch_format="pandas")
         .groupby(["chunk", "value"])
         .map_groups(bucket_pairs, batch_format="pandas")
+        .repartition(_shuffle_blocks())  # coalesce per-group fragments
         .groupby(["a", "b"])
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
@@ -715,7 +737,16 @@ def rp_lsh_candidate_pairs(
     ``n_tables`` bands hashes a vector to the sign pattern of ``n_bits``
     projections; same-bucket vectors pair up. The shuffle moves only
     (table, bucket, vec_id) int rows — never embeddings. P(candidate) for a
-    pair at cosine s is 1-(1-p^b)^L with p = 1-arccos(s)/π."""
+    pair at cosine s is 1-(1-p^b)^L with p = 1-arccos(s)/π.
+
+    PARAMETER RULE (matters!): hyperplane LSH only PRUNES when the target
+    threshold is high — at s=0.9, p≈0.86, so n_bits=12 keeps signal recall
+    ≈1 over a handful of tables while random pairs (p≈0.5) collide w.p.
+    2^-12. Near the random baseline (s≈0.45, p≈0.65) no (b, L) separates
+    signal from noise, and small b floods the verify stage with ~n²·2^-b
+    candidates. The defaults (b=4, L=16) are the catch-everything setting
+    for SMALL correctness corpora; production near-dup at 0.8-0.95 should
+    use n_bits≈12, n_tables≈8 (see test_rp_lsh_production_regime)."""
     planes: np.ndarray | None = None  # lazily sized to the embedding dim
 
     def band_rows(t: pa.Table) -> pa.Table:
@@ -757,6 +788,7 @@ def rp_lsh_candidate_pairs(
     return (
         banded.groupby(["band", "band_hash"])
         .map_groups(bucket_pairs, batch_format="pandas")
+        .repartition(_shuffle_blocks())  # coalesce per-group fragments
         .groupby(["a", "b"])
         .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
     )
@@ -830,7 +862,11 @@ def verify_cosine_pairs(
             }
         )
 
-    sided = unioned.groupby("key").map_groups(attach, batch_format="pyarrow")
+    sided = (
+        unioned.groupby("key")
+        .map_groups(attach, batch_format="pyarrow")
+        .repartition(_shuffle_blocks())  # coalesce per-group fragments
+    )
 
     def cos(g: pa.Table) -> pa.Table:
         side = g.column("side").to_numpy(zero_copy_only=False)
@@ -915,4 +951,4 @@ def embedding_neardup_pairs(
                 }
             )
 
-    return ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    return ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)

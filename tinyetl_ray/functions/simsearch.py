@@ -69,7 +69,7 @@ def topk_cosine(
                 }
             )
 
-    local = ds.map_batches(LocalTopK, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    local = ds.map_batches(LocalTopK, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", id_col], ascending=[False, True], kind="mergesort")
@@ -145,7 +145,7 @@ def ivf_write(
             return t.append_column("bucket_id", pa.array(buckets, pa.int32()))
 
     ds.map_batches(
-        AssignBucket, batch_format="pyarrow", concurrency=2, num_cpus=0.5
+        AssignBucket, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5
     ).write_parquet(out_dir, partition_cols=["bucket"])
     return len(cent)
 
@@ -217,7 +217,7 @@ def ivf_topk_store(
                 }
             )
 
-    local = ds.map_batches(ProbeTopK, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    local = ds.map_batches(ProbeTopK, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", id_col], ascending=[False, True], kind="mergesort")
@@ -274,7 +274,7 @@ def ivf_topk(
                 }
             )
 
-    local = ds.map_batches(IVFTopK, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+    local = ds.map_batches(IVFTopK, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", id_col], ascending=[False, True], kind="mergesort")
