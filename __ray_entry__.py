@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         # --- training-data corpus ops ---
         "text_stats": c.text_stats,
+        "quality_score": c.quality_score,
         "token_count_by_lang": c.token_count_by_lang,
         "doc_fingerprint": c.doc_fingerprint,
         # rows-only: the synthetic fixture's lang labels are uncorrelated
@@ -405,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         # --- corpus ops (shared definitions with tinyetl_ray.functions.text:
         # PUNCT_CLASS and whitespace-run token counting kept in lockstep) ---
         "text_stats": _TEXT_STATS_SQL,
+        "quality_score": _quality_score_sql(),
         "token_count_by_lang": r"""
             SELECT lang,
                    CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
@@ -506,6 +508,47 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn <= 10
         """,
     }
+
+
+def _quality_score_sql() -> str:
+    """Oracle for the QualityScore stage, generated from the SAME stopword
+    tables the engine uses (functions.text._STOPWORDS) so the two can never
+    drift. \\w+ in RE2 = [0-9a-za-z_]+ which matches python's \\w on the
+    ASCII corpus; zh (no table) falls back to the en list like the engine."""
+    from tinyetl_ray.functions.text import _STOPWORDS
+
+    def lst(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+    case = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN {lst(lang)}" for lang in ("de", "fr", "es")
+        )
+        + f" ELSE {lst('en')} END"
+    )
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lang, coalesce(text, '') AS text,
+                 regexp_extract_all(lower(coalesce(text, '')), '\\w+') AS toks
+          FROM documents
+        ), m AS (
+          SELECT doc_id, text, toks,
+                 len(list_filter(toks, x -> list_contains({case}, x))) AS hits,
+                 greatest(len(toks), 1) AS n_tok,
+                 coalesce(list_aggregate(
+                     list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'avg'
+                 ), 0.0) AS mwl
+          FROM t
+        )
+        SELECT doc_id,
+               ROUND(CAST(hits AS DOUBLE) / n_tok, 6) AS stop_ratio,
+               ROUND(mwl, 6) AS mean_word_len,
+               (CAST(hits AS DOUBLE) / n_tok >= 0.05
+                AND mwl BETWEEN 2.0 AND 14.0
+                AND length(text) BETWEEN 10 AND 1000000) AS quality_ok
+        FROM m
+    """
 
 
 # n_punct counts chars in tinyetl_ray.functions.text.PUNCT_CLASS = [.,;:!?'"()-]

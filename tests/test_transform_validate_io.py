@@ -241,3 +241,23 @@ def test_date_parser_breadth():
         assert mapping.get("d", "").startswith("date:"), raw
         out = ApplyTypes(mapping)(df)
         assert str(out["d"].iloc[0]).startswith(want.split(" ")[0]), raw
+
+
+def test_decimal_typed_column():
+    """Declared precision/scale makes `decimal` a real Arrow decimal128
+    (fixed-point, exact) instead of the float64 degradation."""
+    specs = [
+        ColumnSpec("id", "integer"),
+        ColumnSpec("amount", "decimal", precision=12, scale=2),
+        ColumnSpec("rate", "decimal"),  # no precision → float64 (back-compat)
+    ]
+    t = pa.table(
+        {"id": ["1", "2"], "amount": ["1234.56", "0.01"], "rate": ["0.5", "1.25"]}
+    )
+    out = SchemaValidator(specs)(t)
+    assert out.column("amount").type == pa.decimal128(12, 2)
+    assert [str(v) for v in out.column("amount").to_pylist()] == ["1234.56", "0.01"]
+    assert out.column("rate").type == pa.float64()
+    bad = pa.table({"id": ["1"], "amount": ["not-a-number"], "rate": ["1"]})
+    with pytest.raises(ValueError):
+        SchemaValidator(specs)(bad)

@@ -14,7 +14,7 @@ import ray.data
 from ..functions import dedup as dd
 from ..functions import simsearch as ss
 from ..functions import multimodal as mm
-from ..functions.text import Fingerprint, LangId, TextStats
+from ..functions.text import Fingerprint, LangId, QualityScore, TextStats
 
 # engine-written artifacts the DuckDB oracle reads back (simhash signatures,
 # verified LSH edges): the oracle then recomputes the downstream result —
@@ -63,6 +63,31 @@ def token_count_by_lang(sf_dir: str) -> ray.data.Dataset:
         .groupby("lang")
         .aggregate(Sum("t", alias_name="total_tokens"))
     )
+
+
+def quality_score(sf_dir: str) -> ray.data.Dataset:
+    """C4/Gopher-style quality flags, value-checked against a DuckDB oracle
+    generated from the SAME stopword tables (single source of truth in
+    functions.text._STOPWORDS)."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir).map_batches(QualityScore(), batch_format="pandas")
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "stop_ratio": pc.round(
+                    pc.cast(t.column("stop_ratio"), pa.float64()), ndigits=6
+                ),
+                "mean_word_len": pc.round(
+                    pc.cast(t.column("mean_word_len"), pa.float64()), ndigits=6
+                ),
+                "quality_ok": pc.cast(t.column("quality_ok"), pa.bool_()),
+            }
+        )
+
+    return ds.map_batches(fmt, batch_format="pyarrow")
 
 
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:

@@ -40,8 +40,15 @@ class ColumnSpec:
     nullable: bool = True
     pattern: str | None = None
     default: Any = None
+    # decimal-only: declared precision/scale makes `decimal` a REAL
+    # fixed-point Arrow decimal128 (the reference's rust_decimal analog,
+    # src/schema.rs:29); without them it degrades to float64 as before
+    precision: int | None = None
+    scale: int | None = None
 
     def arrow_type(self) -> pa.DataType:
+        if self.type == "decimal" and self.precision is not None:
+            return pa.decimal128(self.precision, self.scale or 0)
         if self.type not in _TYPES:
             raise ValueError(
                 f"unknown type {self.type!r} for column {self.name!r}; "
