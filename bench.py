@@ -203,6 +203,24 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
         exact_dedup(clean_read_parquet(docs)).count()
         queries["dedup_exact"] = round(time.perf_counter() - t0, 3)
 
+        from tinyetl_ray.functions.dedup import (
+            lsh_clusters_distributed,
+            ngram_jaccard_pairs,
+            simhash_pairs,
+        )
+
+        t0 = time.perf_counter()
+        simhash_pairs(clean_read_parquet(docs), max_distance=3).count()
+        queries["dedup_simhash"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        ngram_jaccard_pairs(clean_read_parquet(docs), threshold=0.5).count()
+        queries["dedup_ngram_jaccard"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        lsh_clusters_distributed(
+            clean_read_parquet(docs), bands=16, verify_threshold=0.5, max_iters=16
+        ).count()
+        queries["dedup_minhash_clusters"] = round(time.perf_counter() - t0, 3)
+
     return {
         "metric": "cdc_replay_commit_wide_sec",
         "value": round(headline, 3),
