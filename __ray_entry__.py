@@ -210,6 +210,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_native": p.hash_join_native,
         "range_join": p.range_join_events_parts,
         # --- wide operations ---
+        "topk_per_group": p.topk_per_group,
+        "agg_quantiles": p.agg_quantiles,
+        "pivot_event_counts": p.pivot_event_counts,
         "q1_lineitem": lambda sf: _round_cols(
             p.q1_lineitem(sf), {"sum_qty": 2, "sum_revenue": 2, "avg_disc": 6}
         ),
@@ -376,6 +379,31 @@ def oracle_sql() -> dict[str, str]:
                       AND p.p_retailprice <= e.value * 10 + 50)
                      AS n_parts_in_range
             FROM events e
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+            FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders
+            ) WHERE rn <= 3
+        """,
+        "agg_quantiles": """
+            SELECT o_orderstatus,
+                   ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.95), 4) AS p95
+            FROM orders GROUP BY o_orderstatus
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
         """,
         "q1_lineitem": """
             SELECT l_returnflag, l_linestatus,

@@ -252,3 +252,48 @@ def test_table_stats(tmp_path):
     assert s["num_partitions"] == 8
     assert s["epochs_committed"] == 2
     assert s["tombstones"] > 0
+
+
+def test_compact_crash_window_idempotent(tmp_path):
+    """Compaction interrupted after snapshots but before the commit publish:
+    re-running produces identical content hashes and the same table state
+    (write-then-rename + deterministic output = idempotent recovery)."""
+    import json
+
+    epochs, files = _write_epochs(tmp_path, n_epochs=2)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files, num_partitions=8)
+    before = cdc.read_table(root).to_pandas()
+    c1 = cdc.compact(root, drop_tombstones=False)
+    # simulate the crash window: delete the compaction commit + rewind LATEST
+    cpath = os.path.join(root, "_commits", f"epoch-{c1['epoch']:06d}.json")
+    os.remove(cpath)
+    with open(os.path.join(root, "_commits", "LATEST"), "w") as f:
+        f.write(f"epoch-{c1['epoch'] - 1:06d}")
+    c2 = cdc.compact(root, drop_tombstones=False)
+    h1 = {m["partition"]: m["content_hash"] for m in c1["partitions"]}
+    h2 = {m["partition"]: m["content_hash"] for m in c2["partitions"]}
+    assert h1 == h2, "recovered compaction rewrote different snapshot content"
+    assert c2["epoch"] == c1["epoch"] and c2["last_change_epoch"] == 1
+    after = cdc.read_table(root).to_pandas()
+    assert_frames_equal(after, before)
+
+
+def test_changes_since_after_compaction(tmp_path):
+    """CDC-out across a compaction boundary: watermark carry-forward keeps
+    changes_since(after_epoch) correct — only events newer than the anchor
+    commit's watermark flow, tombstones retained when kept."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=2)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files[:1], num_partitions=8)
+    wm0 = mf.latest_commit(root)["watermark"]
+    cdc.replay_commit(root, files, num_partitions=8)
+    cdc.compact(root, drop_tombstones=False)  # commit epoch 2, no event change
+    delta = cdc.changes_since(root, after_epoch=0).to_pandas()
+    assert len(delta) > 0
+    assert (delta["lsn"] > wm0).all()
+    # same delta as before the compaction would have produced: winners of
+    # epoch-1 events only
+    want = sequential_lww(pa.concat_tables(epochs))  # final state sanity
+    got_state = cdc.read_table(root).to_pandas()
+    assert_frames_equal(got_state, want)

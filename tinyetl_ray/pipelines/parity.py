@@ -394,6 +394,80 @@ def range_join_events_parts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def topk_per_group(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 orders per customer by price (the window-function row_number
+    pattern Ray Data lacks natively): groupby(key).map_groups with an
+    in-group vectorized sort — one shuffle, no global sort."""
+    import pandas as pd
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+        g = g.assign(rn=range(1, len(g) + 1))
+        return g
+
+    return (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+        .groupby("o_custkey")
+        .map_groups(top3, batch_format="pandas")
+    )
+
+
+def agg_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact distributed quantiles per group (Ray Data has no quantile
+    aggregate): groupby(status).map_groups + np.percentile with linear
+    interpolation — matches SQL quantile_cont. Per-group state = that
+    group's values only (fine while groups fit a worker; for giant groups
+    switch to a t-digest sketch combiner)."""
+    import numpy as np
+    import pandas as pd
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["o_totalprice"].to_numpy()
+        return pd.DataFrame(
+            {
+                "o_orderstatus": [g["o_orderstatus"].iloc[0]],
+                "p50": [round(float(np.percentile(v, 50)), 4)],
+                "p95": [round(float(np.percentile(v, 95)), 4)],
+            }
+        )
+
+    return (
+        _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+        .groupby("o_orderstatus")
+        .map_groups(q, batch_format="pandas")
+    )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def pivot_event_counts(sf_dir: str) -> ray.data.Dataset:
+    """Pivot: per-user event-type counts as columns. Partial pivot inside
+    map_batches (vectorized crosstab per batch) + one small groupby-sum of
+    the partials — the pre-aggregation pattern; the shuffle moves one row
+    per (user, batch), never raw events."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(df["user_id"], df["event_type"])
+        for t in EVENT_TYPES:
+            if t not in ct.columns:
+                ct[t] = 0
+        ct = ct[EVENT_TYPES].reset_index()
+        ct.columns = ["user_id"] + [f"n_{t}" for t in EVENT_TYPES]
+        return ct
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "event_type"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES])
+    )
+
+
 def q1_lineitem(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1 shape: pricing summary over lineitem — pre-computed revenue
     column + grouped aggregate (column-pruned read)."""
