@@ -329,9 +329,20 @@ def cmd_cdc(args) -> int:
         for c in mf.list_commits(args.table):
             print(json.dumps({k: c[k] for k in ("epoch", "watermark", "stats")}))
     elif args.cdc_cmd == "show":
-        ds = cdc.read_table(args.table)
+        ds = cdc.read_table(args.table, at_epoch=args.at_epoch)
         print(ds.schema())
         print("rows:", ds.count())
+    elif args.cdc_cmd == "vacuum":
+        print(json.dumps(cdc.vacuum(args.table, keep_last=args.keep_last)))
+    elif args.cdc_cmd == "tail":
+        commits = cdc.tail(
+            args.table,
+            args.watch_dir,
+            num_partitions=args.partitions,
+            poll_secs=args.poll,
+            max_idle_polls=args.max_idle,
+        )
+        print(json.dumps({"applied_epochs": [c["epoch"] for c in commits]}))
     return 0
 
 
@@ -408,6 +419,17 @@ def main(argv: list[str] | None = None) -> int:
     lin.add_argument("table")
     shw = csub.add_parser("show")
     shw.add_argument("table")
+    shw.add_argument("--at-epoch", dest="at_epoch", type=int, default=None,
+                     help="time travel: read the table as of an older commit")
+    vac = csub.add_parser("vacuum")
+    vac.add_argument("table")
+    vac.add_argument("--keep-last", dest="keep_last", type=int, default=2)
+    tl = csub.add_parser("tail", help="watch a directory, apply new change files")
+    tl.add_argument("table")
+    tl.add_argument("watch_dir")
+    tl.add_argument("--partitions", type=int, default=64)
+    tl.add_argument("--poll", type=float, default=1.0)
+    tl.add_argument("--max-idle", dest="max_idle", type=int, default=None)
     c.set_defaults(fn=cmd_cdc)
 
     args = p.parse_args(argv)

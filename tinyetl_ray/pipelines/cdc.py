@@ -148,15 +148,30 @@ def replay(
 # ---------------------------------------------------------------------------
 
 
-def read_table(table_root: str, columns: list[str] | None = None) -> ray.data.Dataset:
+def read_table(
+    table_root: str,
+    columns: list[str] | None = None,
+    at_epoch: int | None = None,
+) -> ray.data.Dataset:
     """Public view of the committed table: latest snapshots, tombstones
     filtered, payload projected, stable (conv_id, turn_idx) order within
     partitions (each snapshot was written key-sorted).
 
     ``columns`` prunes AT THE PARQUET READ (plus the internal ``op`` column
     for tombstone filtering) — a 2-column scan of a wide-text table never
-    deserializes the text bytes."""
-    commit = mf.latest_commit(table_root)
+    deserializes the text bytes.
+
+    ``at_epoch`` = TIME TRAVEL: read the table as of an older commit (its
+    snapshot files are immutable, so any still-unvacuumed epoch is fully
+    reconstructible from its commit manifest alone)."""
+    if at_epoch is None:
+        commit = mf.latest_commit(table_root)
+    else:
+        commit = next(
+            (c for c in mf.list_commits(table_root) if c["epoch"] == at_epoch), None
+        )
+        if commit is None:
+            raise ValueError(f"no commit at epoch {at_epoch} under {table_root}")
     if commit is None:
         raise FileNotFoundError(f"no committed epoch under {table_root}")
     files = mf.snapshot_files(table_root, commit)
@@ -527,6 +542,83 @@ def compact(table_root: str, drop_tombstones: bool = True) -> dict[str, Any]:
             "last_change_epoch": _last_change_epoch(prev),
         },
     )
+
+
+def vacuum(table_root: str, keep_last: int = 2) -> dict[str, Any]:
+    """Snapshot GC (Delta-VACUUM analog): delete partition snapshot files
+    referenced ONLY by commits older than the newest ``keep_last`` — those
+    epochs stop being time-travel targets; commit JSONs are kept as lineage
+    metadata. Safe against concurrent readers of retained epochs because
+    snapshots are immutable and deletion only touches unreferenced files."""
+    commits = mf.list_commits(table_root)
+    if not commits:
+        raise FileNotFoundError(f"no committed epoch under {table_root}")
+    keep = commits[-keep_last:] if keep_last > 0 else commits[-1:]
+    referenced = {
+        os.path.abspath(os.path.join(table_root, m["file"]))
+        for c in keep
+        for m in c["partitions"]
+        if m["rows"] > 0
+    }
+    deleted = 0
+    parts_dir = os.path.join(table_root, mf.PARTS_DIR)
+    for dirpath, _dirs, files in os.walk(parts_dir):
+        for f in files:
+            p = os.path.abspath(os.path.join(dirpath, f))
+            if p.endswith(".parquet") and p not in referenced:
+                os.remove(p)
+                deleted += 1
+    return {
+        "deleted_files": deleted,
+        "retained_epochs": [c["epoch"] for c in keep],
+        "retained_files": len(referenced),
+    }
+
+
+def tail(
+    table_root: str,
+    watch_dir: str,
+    *,
+    num_partitions: int = 64,
+    turn_block: int = DEFAULT_TURN_BLOCK,
+    poll_secs: float = 1.0,
+    max_idle_polls: int | None = None,
+    on_error: str = "raise",
+) -> list[dict[str, Any]]:
+    """WAL/binlog TAIL loop: watch ``watch_dir`` for new change files
+    (lexicographic order = epoch order, the convention log shippers follow)
+    and apply each unseen file as the next change epoch. Resume is free:
+    ``last_change_epoch`` in the commit says how many files were already
+    applied, so a restarted tailer skips them without re-reading.
+
+    ``max_idle_polls`` bounds the loop for tests/batch drains (None = run
+    until interrupted). Returns the commits applied."""
+    applied: list[dict[str, Any]] = []
+    idle = 0
+    while True:
+        files = sorted(
+            os.path.join(watch_dir, f)
+            for f in os.listdir(watch_dir)
+            if f.endswith(".parquet")
+        )
+        done = _last_change_epoch(mf.latest_commit(table_root)) + 1
+        if done < len(files):
+            idle = 0
+            epoch_files = [[f] for f in files]
+            applied.extend(
+                replay_commit(
+                    table_root,
+                    epoch_files,
+                    num_partitions=num_partitions,
+                    turn_block=turn_block,
+                    on_error=on_error,
+                )
+            )
+        else:
+            idle += 1
+            if max_idle_polls is not None and idle >= max_idle_polls:
+                return applied
+            time.sleep(poll_secs)
 
 
 def changes_since(table_root: str, after_epoch: int) -> ray.data.Dataset:
