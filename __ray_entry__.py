@@ -202,6 +202,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_tumbling_window": lambda sf: _round_cols(
             p.events_tumbling_window(sf), {"sum_value": 4}
         ),
+        "events_hopping_window": lambda sf: _round_cols(
+            p.events_hopping_window(sf), {"sum_value": 4}
+        ),
+        "events_running_total": p.events_running_total,
         "events_sessionize": p.events_sessionize,
         "sqlite_roundtrip": p.sqlite_roundtrip,
         "avro_roundtrip": p.avro_roundtrip,
@@ -333,6 +337,24 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    ROUND(SUM(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_hopping_window": """
+            WITH w AS (
+              SELECT user_id, value,
+                     make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+                                    - h.k * 1800000000) AS window_start
+              FROM events, (SELECT unnest([0, 1]) AS k) h
+            )
+            SELECT user_id, window_start, COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS sum_value
+            FROM w GROUP BY 1, 2
+        """,
+        "events_running_total": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 4) AS running_value
+            FROM events
         """,
         "events_sessionize": """
             WITH o AS (

@@ -156,6 +156,60 @@ def events_tumbling_window(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def events_hopping_window(sf_dir: str) -> ray.data.Dataset:
+    """HOPPING window (1 h size, 30 min hop): each event lands in exactly 2
+    overlapping windows, materialized by flat-mapping the event into one row
+    per containing window BEFORE a plain groupby — windows-as-derived-rows,
+    the same groupby trick as tumbling, with fan-out = size/hop (2)."""
+    from ray.data.aggregate import Count, Sum
+
+    SIZE_US, HOP_US = 3_600_000_000, 1_800_000_000
+
+    def explode_windows(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        uid = t.column("user_id").to_numpy()
+        val = t.column("value").to_numpy()
+        # windows containing ts: starts in (ts-size, ts] stepped by hop
+        last = (us // HOP_US) * HOP_US
+        starts = [last, last - HOP_US]  # size/hop = 2 containing windows
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([uid, uid])),
+                "window_start": pa.array(
+                    np.concatenate(starts), pa.int64()
+                ).cast(pa.timestamp("us")),
+                "value": pa.array(np.concatenate([val, val])),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", columns=["ts", "user_id", "value"])
+        .map_batches(explode_windows, batch_format="pyarrow")
+        .groupby(["user_id", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+
+def events_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Cumulative per-user running sum ordered by event time — the
+    window-frame ROWS UNBOUNDED PRECEDING pattern: co-partition by user,
+    in-group sort + cumsum (vectorized)."""
+    import pandas as pd
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        g = g.assign(running_value=g["value"].cumsum().round(4))
+        return g[["event_id", "user_id", "running_value"]]
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+        .groupby("user_id")
+        .map_groups(running, batch_format="pandas")
+    )
+
+
 def events_sessionize(sf_dir: str) -> ray.data.Dataset:
     """Session windows (30-min inactivity gap) per user — the canonical
     partition-by-key + in-group ordered scan: groupby(user).map_groups with a
