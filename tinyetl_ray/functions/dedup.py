@@ -225,6 +225,36 @@ class GramSigs:
         )
 
 
+def _candidate_id_set(pairs: ray.data.Dataset):
+    """Distinct ids appearing in the candidate pair list, broadcast once via
+    ray.put. Materializes ONLY slim int64 ids on the driver (≤ 2·|pairs|)."""
+    ids: set[int] = set()
+    for b in pairs.select_columns(["a", "b"]).iter_batches(batch_format="pyarrow"):
+        ids.update(b.column("a").to_pylist())
+        ids.update(b.column("b").to_pylist())
+    return ray.put(np.sort(np.fromiter(ids, dtype=np.int64, count=len(ids))))
+
+
+def _semi_join_ids(
+    ds: ray.data.Dataset, ids_ref, id_col: str
+) -> ray.data.Dataset:
+    """Keep only rows whose ``id_col`` is in the broadcast sorted id array —
+    vectorized searchsorted probe per batch, no shuffle."""
+
+    class Prune:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = pc.cast(t.column(id_col), pa.int64()).to_numpy()
+            if len(self.ids) == 0:
+                return t.slice(0, 0)
+            idx = np.clip(np.searchsorted(self.ids, keys), 0, len(self.ids) - 1)
+            return t.filter(pa.array(self.ids[idx] == keys))
+
+    return ds.map_batches(Prune, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
+
+
 def verify_jaccard_pairs(
     pairs: ray.data.Dataset, docs: ray.data.Dataset, shingle_k: int = 5
 ) -> ray.data.Dataset:
@@ -239,7 +269,14 @@ def verify_jaccard_pairs(
       2. key = (a, b): the two sides meet → |A∩B| / |A∪B| via sorted-array
          intersection. Duplicate candidates (same pair from several LSH
          bands) collapse here: first row per side wins.
-    Shuffles move only (ints + gram-hash lists of candidate docs)."""
+    Shuffles move only (ints + gram-hash lists of CANDIDATE docs): the doc
+    side is semi-join pruned first with a broadcast candidate-id set
+    (ray.put once — slim int64s, ≤ 2·|pairs|, ≪ corpus) so non-candidate
+    documents never compute or ship their gram lists. For candidate sets
+    too large to broadcast, drop the prune (correct either way) or bucket
+    the ids."""
+    cand_ids = _candidate_id_set(pairs)
+    docs = _semi_join_ids(docs, cand_ids, "doc_id")
     grams = docs.map_batches(GramSigs(shingle_k), batch_format="pyarrow")
 
     def side_rows(t: pa.Table) -> pa.Table:
@@ -392,7 +429,7 @@ def ngram_jaccard_pairs(
     default is sharp there)."""
     cand = lsh_candidate_pairs(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, star_only=False
-    )
+    ).materialize()  # verify reads it twice (id set + pair sides)
     verified = verify_jaccard_pairs(cand, ds, shingle_k=shingle_k)
     return verified.map_batches(
         lambda t, th=threshold: t.filter(pc.greater_equal(t.column("jaccard"), th)),
@@ -801,8 +838,11 @@ def verify_cosine_pairs(
     emb_col: str = "embedding",
 ) -> ray.data.Dataset:
     """Exact cosine for candidate pairs, fully distributed: the same
-    two-stage co-partitioned groupby join as verify_jaccard_pairs, shipping
-    embedding vectors only for candidate ids."""
+    two-stage co-partitioned groupby join as verify_jaccard_pairs, with the
+    same broadcast semi-join prune so only CANDIDATE vectors enter the
+    shuffle."""
+    cand_ids = _candidate_id_set(pairs)
+    ds = _semi_join_ids(ds, cand_ids, id_col)
 
     def side_rows(t: pa.Table) -> pa.Table:
         a = pc.cast(t.column("a"), pa.int64()).to_numpy()
@@ -906,7 +946,9 @@ def embedding_neardup_lsh(
     materializes on the driver and no full-matrix broadcast — this is the
     10^9-vector shape; embedding_neardup_pairs stays as the exactness
     baseline."""
-    cand = rp_lsh_candidate_pairs(ds, n_tables=n_tables, n_bits=n_bits, id_col=id_col)
+    cand = rp_lsh_candidate_pairs(
+        ds, n_tables=n_tables, n_bits=n_bits, id_col=id_col
+    ).materialize()  # verify reads it twice (id set + pair sides)
     verified = verify_cosine_pairs(cand, ds, id_col=id_col)
     return verified.map_batches(
         lambda t, th=threshold: t.filter(pc.greater(t.column("sim"), th)),
