@@ -270,8 +270,37 @@ def run_scaling(sf_dir: str, lo: int = 8, hi: int = 32) -> dict:
     }
 
 
+def run_stats(sf_dir: str, num_cpus: int) -> str:
+    """Per-operator Ray Data stats for the headline replay (the 'is wall
+    time dominated by useful compute?' evidence)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from tinyetl_ray.pipelines import cdc
+
+    wide_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"tinyetl-widelog-{os.path.basename(sf_dir)}-16000000",
+    )
+    files = sorted(glob.glob(os.path.join(wide_dir, "*.parquet")))
+    if not files:
+        return "no cached wide log; run `python bench.py` first"
+    ds = cdc.replay(ray.data.read_parquet(files), num_partitions=NUM_PARTITIONS)
+    m = ds.materialize()
+    stats = m.stats()
+    ray.shutdown()
+    return stats
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--stats" in sys.argv:
+        print(run_stats(sf_dir, int(os.environ.get("RAY_GRAFT_CPUS", "32"))))
+        sys.exit(0)
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(sf_dir)))
     else:

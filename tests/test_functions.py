@@ -456,3 +456,33 @@ def test_rp_lsh_production_regime():
     assert {tuple(sorted(p)) for p in zip(hits["id_a"], hits["id_b"])} >= {
         tuple(sorted(p)) for p in planted
     }
+
+
+def test_dedup_cluster_task_retry(tmp_path):
+    """Worker killed mid-pipeline during distributed LSH clustering: Ray's
+    task retry must recover and the cluster assignment stays exact (same
+    exactly-once property the CDC replay test pins, on the dedup path)."""
+    import os
+
+    from tinyetl_ray.functions.dedup import lsh_clusters_distributed
+
+    df = dup_corpus()
+    flag = tmp_path / "blew-up-once"
+
+    def flaky(t: pa.Table) -> pa.Table:
+        if not flag.exists():
+            flag.write_text("x")
+            os._exit(1)  # process kill → system failure → task retried
+        return t
+
+    ds = ray.data.from_pandas(df).map_batches(flaky, batch_format="pyarrow")
+    got = lsh_clusters_distributed(ds, verify_threshold=0.5).to_pandas()
+    assert flag.exists()
+    clean = lsh_clusters_distributed(
+        ray.data.from_pandas(df), verify_threshold=0.5
+    ).to_pandas()
+
+    def groups(frame):
+        return sorted(tuple(sorted(g)) for _, g in frame.groupby("cluster_id")["doc_id"])
+
+    assert groups(got) == groups(clean)
