@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": c.text_stats,
         "quality_score": c.quality_score,
         "token_count_by_lang": c.token_count_by_lang,
+        "bpe_token_count": c.bpe_token_count,
         "doc_fingerprint": c.doc_fingerprint,
         # rows-only: the synthetic fixture's lang labels are uncorrelated
         # with text content (shared vocabulary), so no content-based
@@ -462,6 +463,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
                                             x -> x != ''))) AS BIGINT) AS total_tokens
             FROM documents GROUP BY lang
+        """,
+        # regex kept in lockstep with functions.text.BpeishTokenCount.PATTERN
+        "bpe_token_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(coalesce(text, '')),
+                                               '[a-z]+|[0-9]+|[^\sa-z0-9]+'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
         "dedup_exact": """

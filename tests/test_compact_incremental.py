@@ -356,3 +356,23 @@ def test_tail_watch_dir(tmp_path):
     assert [c["last_change_epoch"] for c in applied2] == [2]
     got = cdc.read_table(root).to_pandas()
     assert_frames_equal(got, sequential_lww(pa.concat_tables(epochs)))
+
+
+def test_optimistic_concurrency_guard(tmp_path):
+    """A writer whose state read is stale must get ConcurrentCommitError at
+    publish, never silently clobber the other writer's commit."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=1)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files, num_partitions=8)
+    prev = mf.latest_commit(root)
+    # writer A read state at epoch 0; writer B (simulated) publishes epoch 1
+    mf.commit_epoch(
+        root, 1, prev["partitions"], {"simulated": True},
+        extra={"num_partitions": 8, "turn_block": 64, "last_change_epoch": 0},
+    )
+    with pytest.raises(mf.ConcurrentCommitError):
+        mf.commit_epoch(
+            root, 1, prev["partitions"], {}, expected_prev_epoch=0,
+        )
+    # the winning commit is intact
+    assert mf.latest_commit(root)["stats"] == {"simulated": True}

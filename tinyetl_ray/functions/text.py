@@ -144,6 +144,26 @@ class LangId:
         return out
 
 
+class BpeishTokenCount:
+    """BPE-style pre-tokenization count: lowercase runs of letters, digit
+    runs, and non-space punctuation runs — the GPT-2 pre-tokenizer shape
+    without the merges table (counts, not ids). Regex compiled once per
+    actor; counting is one vectorized str.count per batch. Kept in lockstep
+    with the DuckDB oracle regex in __ray_entry__._BPE_TOKEN_RE."""
+
+    PATTERN = r"[a-z]+|[0-9]+|[^\sa-z0-9]+"
+
+    def __init__(self):
+        self.re = re.compile(self.PATTERN)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy(deep=False)
+        out["n_bpe_tokens"] = (
+            df["text"].fillna("").str.lower().str.count(self.re).astype("int64")
+        )
+        return out
+
+
 class Fingerprint:
     """Document fingerprinting: md5 content hash (exact, SQL-matchable) +
     winnowed rolling-hash sketch (near-dup ready, rows-only)."""

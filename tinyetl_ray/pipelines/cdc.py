@@ -447,6 +447,9 @@ def replay_commit(
                     "turn_block": turn_block,
                     "last_change_epoch": change_epoch,
                 },
+                # optimistic concurrency: abort if another writer committed
+                # between our state read and this publish
+                expected_prev_epoch=prev["epoch"] if prev is not None else -1,
             )
         )
     return commits
@@ -541,6 +544,7 @@ def compact(table_root: str, drop_tombstones: bool = True) -> dict[str, Any]:
             # carries the last CHANGE epoch forward unchanged
             "last_change_epoch": _last_change_epoch(prev),
         },
+        expected_prev_epoch=prev["epoch"],
     )
 
 

@@ -14,7 +14,13 @@ import ray.data
 from ..functions import dedup as dd
 from ..functions import simsearch as ss
 from ..functions import multimodal as mm
-from ..functions.text import Fingerprint, LangId, QualityScore, TextStats
+from ..functions.text import (
+    BpeishTokenCount,
+    Fingerprint,
+    LangId,
+    QualityScore,
+    TextStats,
+)
 
 # engine-written artifacts the DuckDB oracle reads back (simhash signatures,
 # verified LSH edges): the oracle then recomputes the downstream result —
@@ -88,6 +94,15 @@ def quality_score(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.map_batches(fmt, batch_format="pyarrow")
+
+
+def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc BPE-ish pre-token counts (letters/digits/punct runs)."""
+    return (
+        _docs(sf_dir)
+        .map_batches(BpeishTokenCount(), batch_format="pandas")
+        .select_columns(["doc_id", "n_bpe_tokens"])
+    )
 
 
 def doc_fingerprint(sf_dir: str) -> ray.data.Dataset:

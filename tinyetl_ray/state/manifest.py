@@ -123,6 +123,11 @@ def schema_from_b64(s: str) -> pa.Schema:
     return ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published a commit between this writer's read of the
+    table state and its publish attempt (optimistic concurrency check)."""
+
+
 def commit_epoch(
     root: str,
     epoch: int,
@@ -130,13 +135,27 @@ def commit_epoch(
     stats: dict[str, Any] | None = None,
     schema: pa.Schema | None = None,
     extra: dict[str, Any] | None = None,
+    expected_prev_epoch: int | None = None,
 ) -> dict[str, Any]:
     """Driver-side atomic publish: the epoch exists once LATEST points at it.
 
     ``schema`` is the evolved change schema at this epoch — stored in the
     commit so readers can align older, narrower snapshots (additive schema
     evolution) without probing every snapshot footer.
+
+    ``expected_prev_epoch``: optimistic-concurrency guard — publish only if
+    the table's current LATEST still names that epoch (-1 = no commit yet);
+    otherwise raise ConcurrentCommitError so the caller re-reads state and
+    retries rather than silently clobbering another writer's commit.
     """
+    if expected_prev_epoch is not None:
+        cur = latest_commit(root)
+        cur_epoch = -1 if cur is None else int(cur["epoch"])
+        if cur_epoch != expected_prev_epoch:
+            raise ConcurrentCommitError(
+                f"expected table at epoch {expected_prev_epoch} but found "
+                f"{cur_epoch} — a concurrent writer committed first"
+            )
     commit = {
         "epoch": epoch,
         "watermark": max((m["lsn_watermark"] for m in manifests), default=-1),
