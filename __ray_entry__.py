@@ -214,6 +214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_native": p.hash_join_native,
         "range_join": p.range_join_events_parts,
         # --- wide operations ---
+        "heavy_users": p.heavy_users,
+        "approx_distinct_users": p.approx_distinct_users,
         "topk_per_group": p.topk_per_group,
         "agg_quantiles": p.agg_quantiles,
         "pivot_event_counts": p.pivot_event_counts,
@@ -402,6 +404,19 @@ def oracle_sql() -> dict[str, str]:
                       AND p.p_retailprice <= e.value * 10 + 50)
                      AS n_parts_in_range
             FROM events e
+        """,
+        "heavy_users": """
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY n_events DESC, user_id LIMIT 10
+        """,
+        # the HLL sketch is approximate by design: the exact count is
+        # SQL-checked, the ≤5%-error claim is the deterministic contract
+        # (splitmix64 hashing, no RNG — same estimate every run)
+        "approx_distinct_users": """
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+                   CAST(1 AS BOOLEAN) AS estimate_within_5pct
+            FROM events
         """,
         "topk_per_group": """
             SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn

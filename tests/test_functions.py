@@ -486,3 +486,27 @@ def test_dedup_cluster_task_retry(tmp_path):
         return sorted(tuple(sorted(g)) for _, g in frame.groupby("cluster_id")["doc_id"])
 
     assert groups(got) == groups(clean)
+
+
+def test_hll_sketch_accuracy_and_merge():
+    from tinyetl_ray.functions.sketch import (
+        approx_distinct,
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    rng = np.random.RandomState(3)
+    for true_n in (50, 1000, 20000):
+        vals = rng.randint(0, 10**12, size=true_n * 3) % (10**9)
+        vals = np.unique(vals)[:true_n]
+        est = hll_estimate(hll_registers(vals, p=12))
+        assert abs(est - len(vals)) / len(vals) < 0.05, (true_n, est)
+    # merge(a, b) == registers(a ∪ b)
+    a, b = np.arange(0, 5000, dtype=np.int64), np.arange(2500, 8000, dtype=np.int64)
+    merged = hll_merge(hll_registers(a), hll_registers(b))
+    assert np.array_equal(merged, hll_registers(np.arange(0, 8000, dtype=np.int64)))
+    # distributed fold over a Dataset
+    ds = ray.data.from_pandas(pd.DataFrame({"v": np.arange(12345, dtype=np.int64)}))
+    est = approx_distinct(ds, "v", p=12)
+    assert abs(est - 12345) / 12345 < 0.05

@@ -261,3 +261,27 @@ def test_decimal_typed_column():
     bad = pa.table({"id": ["1"], "amount": ["not-a-number"], "rate": ["1"]})
     with pytest.raises(ValueError):
         SchemaValidator(specs)(bad)
+
+
+def test_sql_keyset_pagination(tmp_path):
+    """Keyset-paginated SQL read: small pages, full coverage, stable order,
+    constant driver memory (pages spill to parquet)."""
+    import sqlite3
+
+    from tinyetl_ray.sources.sql import read_table_keyset, write_table
+
+    db = str(tmp_path / "k.db")
+
+    def factory():
+        return sqlite3.connect(db, check_same_thread=False)
+
+    src = pd.DataFrame({"id": range(1, 2501), "val": [f"v{i}" for i in range(1, 2501)]})
+    write_table(ray.data.from_pandas(src), "items", factory)
+    ds = read_table_keyset("items", "id", factory, batch_size=300)
+    got = ds.to_pandas().sort_values("id").reset_index(drop=True)
+    assert len(got) == 2500
+    assert got["id"].tolist() == list(range(1, 2501))
+    assert got["val"].iloc[-1] == "v2500"
+    # column projection
+    just_ids = read_table_keyset("items", "id", factory, batch_size=1000, columns=["id"])
+    assert just_ids.schema().names == ["id"]

@@ -494,6 +494,51 @@ def agg_quantiles(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def heavy_users(sf_dir: str) -> ray.data.Dataset:
+    """Heavy hitters: top-10 users by event count. Pre-aggregated batch
+    counts → tiny groupby-sum → sort+limit over the (small) per-user
+    aggregate — raw events never sort."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["user_id"].value_counts()
+        return pd.DataFrame({"user_id": vc.index, "n": vc.to_numpy()})
+
+    agg = (
+        _read(sf_dir, "events", columns=["user_id"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("user_id")
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+    return agg.sort(["n_events", "user_id"], descending=[True, False]).limit(10)
+
+
+def approx_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user count (functions.sketch): fixed-size
+    registers folded per batch, merged by max — the contract row carries
+    the exact count (SQL-checkable) plus the deterministic ≤5%-error claim
+    for the sketch."""
+    import pandas as pd
+
+    from ..functions.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id", p=12)
+    exact = (
+        _read(sf_dir, "events", columns=["user_id"])
+        .groupby("user_id")
+        .count()
+        .count()
+    )
+    return pd.DataFrame(
+        {
+            "exact_distinct": [int(exact)],
+            "estimate_within_5pct": [bool(abs(est - exact) / max(1, exact) <= 0.05)],
+        }
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 

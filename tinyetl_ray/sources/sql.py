@@ -43,6 +43,65 @@ def read_table(
     return ray.data.read_sql(query, connection_factory, **kwargs)
 
 
+def read_table_keyset(
+    table: str,
+    key_col: str,
+    connection_factory: Callable,
+    batch_size: int = 10_000,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """KEYSET-paginated read (the reference's odbc.rs:233-256 fix for O(n²)
+    OFFSET pagination, generalized to any DBAPI source): successive
+    ``WHERE key > last ORDER BY key LIMIT n`` pages, each page emitted as
+    one block via a generator datasource — O(n log n) total with an index
+    on ``key_col``, constant client memory, and a stable resume cursor (the
+    last key seen IS the checkpoint, exactly like the engine's LSN
+    watermark)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sel = ", ".join(columns) if columns else "*"
+    # pages spill to parquet as they arrive (driver memory = ONE page), then
+    # the distributed read takes over — also makes the ingest resumable at
+    # page granularity
+    spill = tempfile.mkdtemp(prefix="tinyetl-keyset-")
+    n_pages = 0
+    with _closing(connection_factory()) as conn:
+        cur = conn.cursor()
+        last = None
+        while True:
+            if last is None:
+                cur.execute(
+                    f"SELECT {sel} FROM {table} ORDER BY {key_col} LIMIT ?",
+                    (batch_size,),
+                )
+            else:
+                cur.execute(
+                    f"SELECT {sel} FROM {table} WHERE {key_col} > ? "
+                    f"ORDER BY {key_col} LIMIT ?",
+                    (last, batch_size),
+                )
+            rows = cur.fetchall()
+            if not rows:
+                break
+            names = [d[0] for d in cur.description]
+            df = pd.DataFrame(rows, columns=names)
+            # cursor must be a NATIVE python scalar: numpy types bind as
+            # blobs in sqlite3 and silently match nothing
+            last = rows[-1][names.index(key_col)]
+            pq.write_table(
+                pa.Table.from_pandas(df, preserve_index=False),
+                os.path.join(spill, f"page-{n_pages:06d}.parquet"),
+            )
+            n_pages += 1
+    if n_pages == 0:
+        return ray.data.from_pandas(pd.DataFrame())
+    return ray.data.read_parquet(spill)
+
+
 def create_table_sql(table: str, df: pd.DataFrame, dialect: str = "generic") -> str:
     cols = []
     for name, dtype in df.dtypes.items():
