@@ -376,3 +376,81 @@ def test_optimistic_concurrency_guard(tmp_path):
         )
     # the winning commit is intact
     assert mf.latest_commit(root)["stats"] == {"simulated": True}
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: additive schema evolution — random optional columns per epoch
+# ---------------------------------------------------------------------------
+
+_evo_epoch = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # conv
+        st.integers(0, 2),  # turn
+        st.text(alphabet="xyz", min_size=1, max_size=4),  # text
+        st.one_of(st.none(), st.text(alphabet="m", min_size=1, max_size=2)),  # model?
+        st.one_of(st.none(), st.integers(0, 9)),  # score?
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_evo_epoch, min_size=1, max_size=3), st.integers(0, 3))
+def test_schema_evolution_property(epoch_rows, drop_mask):
+    """Epochs randomly CARRY or LACK the optional columns (model, score);
+    replay must equal the pandas oracle over the column-union — earlier
+    rows backfill null, no column ever lost."""
+    import pandas as pd
+
+    tmp = __import__("tempfile").mkdtemp(prefix="evo-prop-")
+    files, frames = [], []
+    lsn = 0
+    for e, rows in enumerate(epoch_rows):
+        n = len(rows)
+        data = {
+            "lsn": pa.array(range(lsn, lsn + n), pa.int64()),
+            "op": ["upsert"] * n,
+            "conv_id": [f"c{r[0]}" for r in rows],
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": ["user"] * n,
+            "text": [r[2] for r in rows],
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array([1_000_000 * (lsn + i) for i in range(n)], pa.timestamp("us")),
+        }
+        # epoch e carries 'model' iff bit 0 of (drop_mask >> e), 'score' iff bit 1
+        if not (drop_mask >> e) & 1:
+            data["model"] = pa.array([r[3] for r in rows], pa.string())
+        if not (drop_mask >> e) & 2:
+            data["score"] = pa.array([r[4] for r in rows], pa.int64())
+        t = pa.table(data)
+        p = os.path.join(tmp, f"e{e}.parquet")
+        pq.write_table(t, p)
+        files.append([p])
+        frames.append(t.to_pandas())
+        lsn += n
+    # the oracle's column union = columns that appeared in >= 1 epoch (the
+    # engine must not invent columns no epoch carried)
+    union_cols = []
+    for df in frames:
+        for c in df.columns:
+            if c not in union_cols:
+                union_cols.append(c)
+    for i, df in enumerate(frames):
+        for c in union_cols:
+            if c not in df.columns:
+                df[c] = None
+        frames[i] = df[union_cols]
+    root = os.path.join(tmp, "t")
+    cdc.replay_commit(root, files, num_partitions=4)
+    got = cdc.read_table(root).to_pandas()
+    all_rows = pa.Table.from_pandas(
+        __import__("pandas").concat(frames, ignore_index=True), preserve_index=False
+    )
+    want = sequential_lww(all_rows)
+    assert sorted(got.columns) == sorted(want.columns)
+    assert_frames_equal(got, want)
