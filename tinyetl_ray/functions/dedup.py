@@ -225,21 +225,27 @@ class GramSigs:
         )
 
 
-def _candidate_id_set(pairs: ray.data.Dataset):
-    """Distinct ids appearing in the candidate pair list, broadcast once via
-    ray.put. Materializes ONLY slim int64 ids on the driver (≤ 2·|pairs|)."""
+def _candidate_ids(pairs: ray.data.Dataset) -> np.ndarray:
+    """Sorted distinct ids appearing in the candidate pair list. Materializes
+    ONLY slim int64 ids on the driver (≤ 2·|pairs| ≪ corpus)."""
     ids: set[int] = set()
     for b in pairs.select_columns(["a", "b"]).iter_batches(batch_format="pyarrow"):
         ids.update(b.column("a").to_pylist())
         ids.update(b.column("b").to_pylist())
-    return ray.put(np.sort(np.fromiter(ids, dtype=np.int64, count=len(ids))))
+    return np.sort(np.fromiter(ids, dtype=np.int64, count=len(ids)))
+
+
+def _candidate_id_set(pairs: ray.data.Dataset):
+    """_candidate_ids broadcast once via ray.put."""
+    return ray.put(_candidate_ids(pairs))
 
 
 def _semi_join_ids(
-    ds: ray.data.Dataset, ids_ref, id_col: str
+    ds: ray.data.Dataset, ids_ref, id_col: str, invert: bool = False
 ) -> ray.data.Dataset:
-    """Keep only rows whose ``id_col`` is in the broadcast sorted id array —
-    vectorized searchsorted probe per batch, no shuffle."""
+    """Keep only rows whose ``id_col`` is in the broadcast sorted id array
+    (``invert=True`` → anti-join: keep rows NOT in it) — vectorized
+    searchsorted probe per batch, no shuffle."""
 
     class Prune:
         def __init__(self):
@@ -248,9 +254,11 @@ def _semi_join_ids(
         def __call__(self, t: pa.Table) -> pa.Table:
             keys = pc.cast(t.column(id_col), pa.int64()).to_numpy()
             if len(self.ids) == 0:
-                return t.slice(0, 0)
-            idx = np.clip(np.searchsorted(self.ids, keys), 0, len(self.ids) - 1)
-            return t.filter(pa.array(self.ids[idx] == keys))
+                hit = np.zeros(len(keys), dtype=bool)
+            else:
+                idx = np.clip(np.searchsorted(self.ids, keys), 0, len(self.ids) - 1)
+                hit = self.ids[idx] == keys
+            return t.filter(pa.array(~hit if invert else hit))
 
     return ds.map_batches(Prune, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
 
@@ -570,12 +578,27 @@ def lsh_clusters_distributed(
     edges = cand.map_batches(mirror, batch_format="pyarrow").materialize()
     # reused every iteration — small (band buckets only)
 
-    labels = ds.select_columns(["doc_id"]).map_batches(
-        lambda df: pd.DataFrame(
-            {"doc_id": df["doc_id"].astype(np.int64), "label": df["doc_id"].astype(np.int64)}
-        ),
-        batch_format="pandas",
-    )
+    # Propagate over EDGE-TOUCHED nodes only: at corpus scale most documents
+    # are in no candidate pair and trivially label themselves, so iterating
+    # the full label table would shuffle the whole corpus per round for
+    # nothing. The touched-id list is the same slim broadcast bound as the
+    # verify prune (≤ 2·|edges|); untouched docs are appended at the end
+    # via a broadcast anti-join.
+    touched = _candidate_ids(cand)
+    if len(touched) == 0:  # no candidates at all: every doc is its own cluster
+        return ds.select_columns(["doc_id"]).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype(np.int64),
+                    "cluster_id": df["doc_id"].astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+    touched_ref = ray.put(touched)
+    labels = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(touched), "label": pa.array(touched)})
+    ).repartition(max(1, min(_shuffle_blocks(), len(touched) // 10_000 + 1)))
 
     def _resolve(g: pd.DataFrame) -> pd.DataFrame:
         # one co-partitioned bucket: exactly one label row (src == -1) plus
@@ -619,9 +642,23 @@ def lsh_clusters_distributed(
         if cur == prev_sum:
             break
         prev_sum = cur
-    return labels.map_batches(
+    clustered = labels.map_batches(
         lambda df: df.rename(columns={"label": "cluster_id"}), batch_format="pandas"
     )
+    # untouched docs (no candidate edge) label themselves — broadcast
+    # anti-join, no shuffle
+    untouched = _semi_join_ids(
+        ds.select_columns(["doc_id"]), touched_ref, "doc_id", invert=True
+    ).map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "cluster_id": df["doc_id"].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+    return clustered.union(untouched)
 
 
 # ---------------------------------------------------------------------------
