@@ -454,3 +454,24 @@ def test_schema_evolution_property(epoch_rows, drop_mask):
     want = sequential_lww(all_rows)
     assert sorted(got.columns) == sorted(want.columns)
     assert_frames_equal(got, want)
+
+
+def test_read_conversation_pruned(tmp_path):
+    """Conversation-level lookup reads only the partitions its turn-blocks
+    can route to, and returns every live turn in order."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=2)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files, num_partitions=16)
+    full = cdc.read_table(root).to_pandas()
+    conv = full["conv_id"].value_counts().index[0]  # busiest conversation
+    got = cdc.read_conversation(root, conv).to_pandas()
+    want = full[full["conv_id"] == conv].sort_values("turn_idx").reset_index(drop=True)
+    assert got["turn_idx"].tolist() == want["turn_idx"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+    # absent conversation → typed empty
+    assert cdc.read_conversation(root, "conv-nope").num_rows == 0
+    # pruning really happened: candidate partitions << total for small
+    # max_turn (max_turn < turn_block → exactly ONE candidate partition)
+    c = mf.latest_commit(root)
+    max_turn = max(m.get("max_turn_idx", -1) for m in c["partitions"])
+    assert max_turn < 64  # fixture turns < turn_block → 1 block → 1 file read

@@ -238,6 +238,49 @@ def read_turn(table_root: str, conv_id: str, turn_idx: int) -> pa.Table:
     return t.drop_columns(["lsn", "op"])
 
 
+def read_conversation(table_root: str, conv_id: str) -> pa.Table:
+    """All turns of one conversation via partition pruning: the commit's
+    per-partition ``max_turn_idx`` bounds the turn space, so candidate
+    partitions are {route(conv, tb) for tb ≤ max_turn // turn_block} — a
+    handful of files regardless of table size (the conv-level analog of
+    read_turn's single-file point lookup)."""
+    from ..stages.partition import partition_ids
+
+    commit = mf.latest_commit(table_root)
+    if commit is None:
+        raise FileNotFoundError(f"no committed epoch under {table_root}")
+    P = commit.get("num_partitions", len(commit["partitions"]))
+    tb = commit.get("turn_block", DEFAULT_TURN_BLOCK)
+    max_turn = max(
+        (m.get("max_turn_idx", -1) for m in commit["partitions"]), default=-1
+    )
+    if max_turn < 0:
+        return transcript_schema_of(CHANGE_SCHEMA).empty_table()
+    blocks = np.arange(0, max_turn // tb + 1, dtype=np.int32)
+    pids = set(
+        partition_ids(
+            pa.array([conv_id] * len(blocks)),
+            pa.array(blocks * tb, pa.int32()),  # representative turn per block
+            P,
+            tb,
+        ).tolist()
+    )
+    tables = []
+    for m in commit["partitions"]:
+        if m["partition"] in pids and m["rows"] > 0:
+            t = pq.read_table(os.path.join(table_root, m["file"]))
+            t = t.filter(pc.equal(t.column("conv_id"), conv_id))
+            tables.append(t)
+    if not tables:
+        return transcript_schema_of(CHANGE_SCHEMA).empty_table()
+    out = pa.concat_tables(tables, promote_options="default")
+    out = out.filter(pc.equal(out.column("op"), "upsert"))
+    out = out.drop_columns([c for c in ("lsn", "op") if c in out.column_names])
+    if len(out):
+        out = out.take(pc.sort_indices(out, sort_keys=[("turn_idx", "ascending")]))
+    return out
+
+
 def table_stats(table_root: str) -> dict[str, Any]:
     """Operator-facing rollup of the latest commit + lineage."""
     commit = mf.latest_commit(table_root)

@@ -97,6 +97,7 @@ def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str
         import pyarrow.compute as pc
 
         n_del = pc.sum(pc.cast(pc.equal(ops, "delete"), pa.int64())).as_py() or 0
+    turns = table.column("turn_idx").to_numpy() if len(table) else []
     return {
         "partition": pid,
         "epoch": epoch,
@@ -105,6 +106,9 @@ def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str
         "tombstones": int(n_del),
         "live_rows": len(table) - int(n_del),
         "lsn_watermark": int(max(lsns)) if len(table) else -1,
+        # per-partition turn bound: lets conversation-level lookups
+        # enumerate candidate turn-blocks instead of scanning every file
+        "max_turn_idx": int(max(turns)) if len(table) else -1,
         "content_hash": content_hash.hexdigest(),
     }
 
