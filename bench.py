@@ -221,6 +221,58 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         queries["dedup_minhash_clusters"] = round(time.perf_counter() - t0, 3)
 
+    # --- corpus at scale: 100k docs with planted near-dups (the 5k-doc sf
+    # table only measures fixed overhead; this measures actual doc/s) -----
+    big_docs = os.path.join(
+        tempfile.gettempdir(), "tinyetl-bigcorpus-100000.parquet"
+    )
+    if not os.path.exists(big_docs):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.RandomState(6)
+        vocab = np.array(
+            "the of and data table row batch key hash sort merge scan filter "
+            "group window join stream vector value slow fast big small query "
+            "column part order line agg spark customer".split()
+        )
+        n = 100_000
+        texts = []
+        for i in range(n):
+            words = vocab[rng.randint(0, len(vocab), size=40)]
+            texts.append(" ".join(words))
+        # plant 2% near-duplicates (one-word edits of earlier docs)
+        for i in range(0, n, 50):
+            j = rng.randint(0, n)
+            texts[i] = texts[j].replace(" the ", " a ", 1)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), pa.int64()),
+                    "text": pa.array(texts),
+                }
+            ),
+            big_docs,
+        )
+    from tinyetl_ray.functions.dedup import MinHasher, simhash_pairs as _sp
+
+    t0 = time.perf_counter()
+    exact_dedup(clean_read_parquet(big_docs)).count()
+    queries["dedup_exact_100k"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    clean_read_parquet(big_docs).map_batches(
+        MinHasher, batch_format="pandas",
+        fn_constructor_kwargs={"num_perm": 128},
+        concurrency=(2, 8), num_cpus=0.5,
+    ).count()
+    minhash_secs = time.perf_counter() - t0
+    queries["minhash_signatures_100k"] = round(minhash_secs, 3)
+    queries["minhash_docs_per_sec"] = round(100_000 / minhash_secs)
+    t0 = time.perf_counter()
+    _sp(clean_read_parquet(big_docs), max_distance=3).count()
+    queries["dedup_simhash_100k"] = round(time.perf_counter() - t0, 3)
+
     return {
         "metric": "cdc_replay_commit_wide_sec",
         "value": round(headline, 3),

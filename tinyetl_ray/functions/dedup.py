@@ -42,37 +42,76 @@ def _shuffle_blocks() -> int:
     return max(8, cores // 2)
 
 
+def _dedup_pairs(
+    pairs: ray.data.Dataset, extra_cols: list[str] | None = None
+) -> ray.data.Dataset:
+    """Drop duplicate (a, b) pairs (e.g. the same candidate from several LSH
+    bands): hash-partition on the pair key, then ONE vectorized
+    drop_duplicates per partition — never a Python callback per pair."""
+    P = _shuffle_blocks() * 4
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = (
+            df["a"].to_numpy(np.int64).astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ^ df["b"].to_numpy(np.int64).astype(np.uint64)
+        )
+        df = df.copy(deep=False)
+        df["_part"] = (h % np.uint64(P)).astype(np.int32)
+        return df
+
+    keep = ["a", "b"] + (extra_cols or [])
+
+    def uniq(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["a", "b"])[keep]
+
+    return (
+        pairs.map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(uniq, batch_format="pandas")
+    )
+
+
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
 
 def exact_dedup(
-    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """Keep the min-id row per distinct text. Shuffle key = 64-bit content
-    hash (slim); full equality re-checked inside the group so a hash
-    collision can never merge distinct texts."""
+    """Keep the min-id row per distinct text. Shuffle key = content-hash
+    MOD a bounded partition count, and the winner scan is VECTORIZED over
+    each whole partition (one sort + drop_duplicates), not per hash group
+    — groupby on the raw hash would invoke a Python callback per DISTINCT
+    TEXT (measured 19 s for 100k docs; partition-level processing is ~3 s).
+    Full-text equality decides inside the partition, so a hash collision
+    can never merge distinct texts."""
+    P = num_partitions or _shuffle_blocks() * 4
 
-    def add_hash(t: pa.Table) -> pa.Table:
+    def add_keys(t: pa.Table) -> pa.Table:
         # pd.util.hash_array: vectorized siphash with a FIXED key —
         # deterministic across processes, and O(total bytes) for long
-        # documents (hashing.hash_strings is built for SHORT keys: it sweeps
-        # one numpy pass per character position). A collision only co-groups
-        # two texts; in-group equality keeps the result exact.
+        # documents. All rows of one text share _part, so partition-local
+        # dedup is globally correct.
         s = t.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
-        h = pd.util.hash_array(s).astype(np.int64)
-        # drop schema-level metadata (e.g. pandas-written parquet): an
-        # unhashable schema makes every shuffle reduce re-ship it
-        return t.replace_schema_metadata(None).append_column("_h", pa.array(h))
+        h = pd.util.hash_array(s)
+        t = t.replace_schema_metadata(None)  # unhashable-schema guard
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(P)).astype(np.int32))
+        )
 
     def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")
-        return g.drop_duplicates(subset=[text_col], keep="first").drop(columns=["_h"])
+        return g.drop_duplicates(subset=[text_col], keep="first").drop(
+            columns=["_part"]
+        )
 
     return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("_h")
+        ds.map_batches(add_keys, batch_format="pyarrow")
+        .groupby("_part")
         .map_groups(first_per_text, batch_format="pandas")
     )
 
@@ -283,6 +322,7 @@ def verify_jaccard_pairs(
     documents never compute or ship their gram lists. For candidate sets
     too large to broadcast, drop the prune (correct either way) or bucket
     the ids."""
+    P = _shuffle_blocks() * 4
     cand_ids = _candidate_id_set(pairs)
     docs = _semi_join_ids(docs, cand_ids, "doc_id")
     grams = docs.map_batches(GramSigs(shingle_k), batch_format="pyarrow")
@@ -290,9 +330,11 @@ def verify_jaccard_pairs(
     def side_rows(t: pa.Table) -> pa.Table:
         a = pc.cast(t.column("a"), pa.int64()).to_numpy()
         b = pc.cast(t.column("b"), pa.int64()).to_numpy()
+        key = np.concatenate([a, b])
         return pa.table(
             {
-                "key": pa.array(np.concatenate([a, b])),
+                "key": pa.array(key),
+                "_part": pa.array((key.astype(np.uint64) % np.uint64(P)).astype(np.int32)),
                 "a": pa.array(np.concatenate([a, a])),
                 "b": pa.array(np.concatenate([b, b])),
                 "grams": pa.nulls(2 * len(t), pa.list_(pa.uint64())),
@@ -301,9 +343,11 @@ def verify_jaccard_pairs(
 
     def gram_rows(t: pa.Table) -> pa.Table:
         n = len(t)
+        key = pc.cast(t.column("doc_id"), pa.int64()).to_numpy()
         return pa.table(
             {
-                "key": t.column("doc_id"),
+                "key": pa.array(key),
+                "_part": pa.array((key.astype(np.uint64) % np.uint64(P)).astype(np.int32)),
                 "a": pa.array(np.full(n, -1, np.int64)),
                 "b": pa.array(np.full(n, -1, np.int64)),
                 "grams": t.column("grams"),
@@ -314,62 +358,120 @@ def verify_jaccard_pairs(
         grams.map_batches(gram_rows, batch_format="pyarrow")
     )
 
-    def attach(g: pa.Table) -> pa.Table:
+    _EMPTY_SIDED = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int8()),
+            "grams": pa.array([], pa.list_(pa.uint64())),
+        }
+    )
+
+    def attach_part(g: pa.Table) -> pa.Table:
+        # VECTORIZED hash-join within the partition: searchsorted probe of
+        # pair keys into the sorted doc keys + one ListArray.take gather —
+        # a groupby on the raw key would cost a Python callback per doc
         is_doc = pc.equal(g.column("a"), -1)
-        doc_rows = g.filter(is_doc)
-        pair_rows = g.filter(pc.invert(is_doc))
-        if doc_rows.num_rows == 0 or pair_rows.num_rows == 0:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "side": pa.array([], pa.int8()),
-                    "grams": pa.array([], pa.list_(pa.uint64())),
-                }
-            )
-        key = g.column("key")[0]
-        n = pair_rows.num_rows
-        side = pc.cast(pc.equal(pair_rows.column("b"), key), pa.int8())
-        gram_list = doc_rows.column("grams").slice(0, 1)
+        doc = g.filter(is_doc)
+        pair = g.filter(pc.invert(is_doc))
+        if doc.num_rows == 0 or pair.num_rows == 0:
+            return _EMPTY_SIDED
+        dk = doc.column("key").to_numpy()
+        order = np.argsort(dk, kind="stable")
+        dks = dk[order]
+        pk = pair.column("key").to_numpy()
+        idx = np.clip(np.searchsorted(dks, pk), 0, len(dks) - 1)
+        hit = dks[idx] == pk
+        if not hit.any():
+            return _EMPTY_SIDED
+        pair = pair.filter(pa.array(hit))
+        gathered = doc.column("grams").combine_chunks().take(
+            pa.array(order[idx[hit]], pa.int64())
+        )
+        side = pc.cast(
+            pc.equal(pair.column("b"), pair.column("key")), pa.int8()
+        )
         return pa.table(
             {
-                "a": pair_rows.column("a"),
-                "b": pair_rows.column("b"),
+                "a": pair.column("a"),
+                "b": pair.column("b"),
                 "side": side,
-                "grams": pa.chunked_array([gram_list] * n)
-                if n > 1
-                else gram_list,
+                "grams": gathered,
             }
         )
 
     sided = (
-        unioned.groupby("key")
-        .map_groups(attach, batch_format="pyarrow")
-        .repartition(_shuffle_blocks())  # coalesce per-group fragments
+        unioned.groupby("_part")
+        .map_groups(attach_part, batch_format="pyarrow")
+        .repartition(_shuffle_blocks())
     )
 
-    def jac(g: pa.Table) -> pa.Table:
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        h = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.astype(np.uint64)
+        return t.append_column("_p2", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def jac_part(g: pa.Table) -> pa.Table:
+        # pair rows meet here; per-pair set intersection over raw
+        # offsets/values numpy slices (no pandas frame per pair)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        n = g.num_rows
+        if n == 0:
+            return empty
+        a = g.column("a").to_numpy()
+        b = g.column("b").to_numpy()
         side = g.column("side").to_numpy(zero_copy_only=False)
-        i0 = int(np.argmax(side == 0)) if (side == 0).any() else -1
-        i1 = int(np.argmax(side == 1)) if (side == 1).any() else -1
-        if i0 < 0 or i1 < 0:  # partner doc missing from `docs`
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "jaccard": pa.array([], pa.float64())})
-        ga = np.asarray(g.column("grams")[i0].as_py(), dtype=np.uint64)
-        gb = np.asarray(g.column("grams")[i1].as_py(), dtype=np.uint64)
-        inter = np.intersect1d(ga, gb, assume_unique=True).size
-        union = ga.size + gb.size - inter
-        j = 1.0 if union == 0 else inter / union
+        order = np.lexsort((side, b, a))
+        a, b, side = a[order], b[order], side[order]
+        grams = g.column("grams").combine_chunks().take(pa.array(order, pa.int64()))
+        offs = grams.offsets.to_numpy()
+        vals = grams.values.to_numpy(zero_copy_only=False)
+        # drop duplicate (a, b, side) rows (same pair from several bands)
+        dup = np.zeros(n, dtype=bool)
+        if n > 1:
+            dup[1:] = (a[1:] == a[:-1]) & (b[1:] == b[:-1]) & (side[1:] == side[:-1])
+        keep_idx = np.nonzero(~dup)[0]
+        a, b, side = a[keep_idx], b[keep_idx], side[keep_idx]
+        m = len(keep_idx)
+        new_pair = np.ones(m, dtype=bool)
+        if m > 1:
+            new_pair[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(new_pair)[0]
+        lens = np.diff(np.append(starts, m))
+        out_a, out_b, out_j = [], [], []
+        for s0, ln in zip(starts, lens):
+            if ln != 2:  # partner doc missing from `docs`
+                continue
+            i0, i1 = keep_idx[s0], keep_idx[s0 + 1]
+            ga = vals[offs[i0] : offs[i0 + 1]]
+            gb = vals[offs[i1] : offs[i1 + 1]]
+            inter = np.intersect1d(ga, gb, assume_unique=True).size
+            union = len(ga) + len(gb) - inter
+            out_a.append(a[s0])
+            out_b.append(b[s0])
+            out_j.append(round(1.0 if union == 0 else inter / union, 6))
+        if not out_a:
+            return empty
         return pa.table(
             {
-                "a": g.column("a").slice(0, 1),
-                "b": g.column("b").slice(0, 1),
-                "jaccard": pa.array([round(j, 6)], pa.float64()),
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
             }
         )
 
-    return sided.groupby(["a", "b"]).map_groups(jac, batch_format="pyarrow")
+    return (
+        sided.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("_p2")
+        .map_groups(jac_part, batch_format="pyarrow")
+    )
 
 
 def lsh_candidate_pairs(
@@ -384,6 +486,7 @@ def lsh_candidate_pairs(
     (enough for connectivity/clustering, O(n) edges per bucket);
     otherwise all in-bucket pairs (needed for complete pair listings)."""
     rows_per_band = num_perm // bands
+    P = _shuffle_blocks() * 4
     sigs = ds.map_batches(
         MinHasher,
         batch_format="pandas",
@@ -391,31 +494,51 @@ def lsh_candidate_pairs(
         concurrency=(2, 8),
         num_cpus=0.5,
     )
-    banded = sigs.map_batches(
-        lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
-    )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
+    def banded(df: pd.DataFrame) -> pd.DataFrame:
+        out = _band_rows(df, bands, rows_per_band)
+        # one combined bucket key + bounded shuffle partition (a groupby on
+        # the raw bucket would cost a Python callback per distinct bucket)
+        key = (
+            out["band"].to_numpy(np.int64) << np.int64(48)
+        ) ^ out["band_hash"].to_numpy(np.int64)
+        out["bucket"] = key
+        out["_part"] = (key.astype(np.uint64) % np.uint64(P)).astype(np.int32)
+        return out[["bucket", "_part", "doc_id"]]
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # segmented per-bucket pair generation over the whole partition
+        g = g.sort_values(["bucket", "doc_id"], kind="mergesort")
+        bk = g["bucket"].to_numpy()
+        ids = g["doc_id"].to_numpy(np.int64)
+        _, starts = np.unique(bk, return_index=True)
+        bounds = np.append(starts, len(bk))
+        out_a, out_b = [], []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            seg = np.unique(ids[s0:s1])
+            if len(seg) < 2:
+                continue
+            if star_only:
+                out_a.append(np.full(len(seg) - 1, seg[0]))
+                out_b.append(seg[1:])
+            else:
+                ia, ib = np.triu_indices(len(seg), k=1)
+                out_a.append(seg[ia])
+                out_b.append(seg[ib])
+        if not out_a:
             return pd.DataFrame(
                 {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
             )
-        if star_only:
-            return pd.DataFrame(
-                {"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]}
-            )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
-    return (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .repartition(_shuffle_blocks())  # coalesce per-group fragments
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
-        .repartition(_shuffle_blocks())
+    pairs = (
+        sigs.map_batches(banded, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(part_pairs, batch_format="pandas")
     )
+    return _dedup_pairs(pairs).repartition(_shuffle_blocks())
 
 
 def ngram_jaccard_pairs(
@@ -740,6 +863,7 @@ def simhash_pairs(
     independent-oracle hook: DuckDB's bit_count(xor(a, b)) over the same
     signatures must reproduce the pair list exactly (banding is exact here,
     not probabilistic)."""
+    P = _shuffle_blocks() * 4
     sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=(2, 8), num_cpus=0.5)
     if sigs_out is not None:
         sigs = sigs.materialize()
@@ -750,11 +874,12 @@ def simhash_pairs(
         parts = []
         for c in range(4):
             chunk = (s >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+            bucket = (np.int64(c) << np.int64(16)) | chunk.astype(np.int64)
             parts.append(
                 pd.DataFrame(
                     {
-                        "chunk": np.full(len(df), c, dtype=np.int32),
-                        "value": chunk.astype(np.int64),
+                        "bucket": bucket,
+                        "_part": (bucket % P).astype(np.int32),
                         "doc_id": df["doc_id"].to_numpy(),
                         "simhash": s.astype(np.int64),
                     }
@@ -762,36 +887,50 @@ def simhash_pairs(
             )
         return pd.concat(parts, ignore_index=True)
 
-    def bucket_pairs(g: pd.DataFrame, maxd: int = max_distance) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "a": pd.Series([], dtype="int64"),
-                "b": pd.Series([], dtype="int64"),
-                "distance": pd.Series([], dtype="int64"),
-            }
-        )
-        if len(g) < 2:
-            return empty
-        g = g.sort_values("doc_id")
+    def part_pairs(g: pd.DataFrame, maxd: int = max_distance) -> pd.DataFrame:
+        # SEGMENTED bucket scan over the whole hash partition: one sort,
+        # then numpy slices per bucket run — a groupby on the raw bucket
+        # value would pay a Python/pandas callback per DISTINCT BUCKET
+        # (up to 4·2^16 of them)
+        g = g.sort_values(["bucket", "doc_id"], kind="mergesort")
+        bk = g["bucket"].to_numpy()
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
-        ia, ib = np.triu_indices(len(ids), k=1)
-        d = hamming64(hs[ia], hs[ib])
-        keep = d <= maxd  # filter INSIDE the bucket — nothing wide survives
-        if not keep.any():
-            return empty
+        _, starts = np.unique(bk, return_index=True)
+        bounds = np.append(starts, len(bk))
+        out_a, out_b, out_d = [], [], []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            if s1 - s0 < 2:
+                continue
+            ia, ib = np.triu_indices(s1 - s0, k=1)
+            d = hamming64(hs[s0:s1][ia], hs[s0:s1][ib])
+            keep = d <= maxd  # filter inside the bucket
+            if keep.any():
+                out_a.append(ids[s0:s1][ia[keep]])
+                out_b.append(ids[s0:s1][ib[keep]])
+                out_d.append(d[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series([], dtype="int64"),
+                    "b": pd.Series([], dtype="int64"),
+                    "distance": pd.Series([], dtype="int64"),
+                }
+            )
         return pd.DataFrame(
-            {"a": ids[ia][keep], "b": ids[ib][keep], "distance": d[keep]}
+            {
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
+                "distance": np.concatenate(out_d),
+            }
         )
 
-    return (
+    pairs = (
         sigs.map_batches(chunk_rows, batch_format="pandas")
-        .groupby(["chunk", "value"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .repartition(_shuffle_blocks())  # coalesce per-group fragments
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(part_pairs, batch_format="pandas")
     )
+    return _dedup_pairs(pairs, extra_cols=["distance"])
 
 
 # ---------------------------------------------------------------------------
@@ -875,18 +1014,22 @@ def verify_cosine_pairs(
     emb_col: str = "embedding",
 ) -> ray.data.Dataset:
     """Exact cosine for candidate pairs, fully distributed: the same
-    two-stage co-partitioned groupby join as verify_jaccard_pairs, with the
-    same broadcast semi-join prune so only CANDIDATE vectors enter the
-    shuffle."""
+    two-stage co-partitioned vectorized join as verify_jaccard_pairs, with
+    the same broadcast semi-join prune so only CANDIDATE vectors enter the
+    shuffle; the fixed vector dimension makes the final per-pair dot
+    product ONE einsum over the whole partition."""
+    P = _shuffle_blocks() * 4
     cand_ids = _candidate_id_set(pairs)
     ds = _semi_join_ids(ds, cand_ids, id_col)
 
     def side_rows(t: pa.Table) -> pa.Table:
         a = pc.cast(t.column("a"), pa.int64()).to_numpy()
         b = pc.cast(t.column("b"), pa.int64()).to_numpy()
+        key = np.concatenate([a, b])
         return pa.table(
             {
-                "key": pa.array(np.concatenate([a, b])),
+                "key": pa.array(key),
+                "_part": pa.array((key.astype(np.uint64) % np.uint64(P)).astype(np.int32)),
                 "a": pa.array(np.concatenate([a, a])),
                 "b": pa.array(np.concatenate([b, b])),
                 "vec": pa.nulls(2 * len(t), pa.list_(pa.float64())),
@@ -900,9 +1043,11 @@ def verify_cosine_pairs(
         n, dim = vecs.shape
         offsets = pa.array(np.arange(n + 1, dtype=np.int32) * dim, pa.int32())
         lst = pa.ListArray.from_arrays(offsets, pa.array(vecs.ravel(), pa.float64()))
+        key = pc.cast(t.column(id_col), pa.int64()).to_numpy()
         return pa.table(
             {
-                "key": pc.cast(t.column(id_col), pa.int64()),
+                "key": pa.array(key),
+                "_part": pa.array((key.astype(np.uint64) % np.uint64(P)).astype(np.int32)),
                 "a": pa.array(np.full(n, -1, np.int64)),
                 "b": pa.array(np.full(n, -1, np.int64)),
                 "vec": lst,
@@ -913,40 +1058,51 @@ def verify_cosine_pairs(
         ds.map_batches(vec_rows, batch_format="pyarrow")
     )
 
-    def attach(g: pa.Table) -> pa.Table:
+    _EMPTY_VSIDED = pa.table(
+        {
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "side": pa.array([], pa.int8()),
+            "vec": pa.array([], pa.list_(pa.float64())),
+        }
+    )
+
+    def attach_part(g: pa.Table) -> pa.Table:
         is_vec = pc.equal(g.column("a"), -1)
-        vec_row = g.filter(is_vec)
-        pair_rows = g.filter(pc.invert(is_vec))
-        if vec_row.num_rows == 0 or pair_rows.num_rows == 0:
-            return pa.table(
-                {
-                    "a": pa.array([], pa.int64()),
-                    "b": pa.array([], pa.int64()),
-                    "side": pa.array([], pa.int8()),
-                    "vec": pa.array([], pa.list_(pa.float64())),
-                }
-            )
-        key = g.column("key")[0]
-        n = pair_rows.num_rows
-        side = pc.cast(pc.equal(pair_rows.column("b"), key), pa.int8())
-        v = vec_row.column("vec").slice(0, 1)
+        vec = g.filter(is_vec)
+        pair = g.filter(pc.invert(is_vec))
+        if vec.num_rows == 0 or pair.num_rows == 0:
+            return _EMPTY_VSIDED
+        dk = vec.column("key").to_numpy()
+        order = np.argsort(dk, kind="stable")
+        dks = dk[order]
+        pk = pair.column("key").to_numpy()
+        idx = np.clip(np.searchsorted(dks, pk), 0, len(dks) - 1)
+        hit = dks[idx] == pk
+        if not hit.any():
+            return _EMPTY_VSIDED
+        pair = pair.filter(pa.array(hit))
+        gathered = vec.column("vec").combine_chunks().take(
+            pa.array(order[idx[hit]], pa.int64())
+        )
+        side = pc.cast(pc.equal(pair.column("b"), pair.column("key")), pa.int8())
         return pa.table(
-            {
-                "a": pair_rows.column("a"),
-                "b": pair_rows.column("b"),
-                "side": side,
-                "vec": pa.chunked_array([v] * n) if n > 1 else v,
-            }
+            {"a": pair.column("a"), "b": pair.column("b"), "side": side, "vec": gathered}
         )
 
     sided = (
-        unioned.groupby("key")
-        .map_groups(attach, batch_format="pyarrow")
-        .repartition(_shuffle_blocks())  # coalesce per-group fragments
+        unioned.groupby("_part")
+        .map_groups(attach_part, batch_format="pyarrow")
+        .repartition(_shuffle_blocks())
     )
 
-    def cos(g: pa.Table) -> pa.Table:
-        side = g.column("side").to_numpy(zero_copy_only=False)
+    def add_pair_part(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy()
+        b = t.column("b").to_numpy()
+        h = a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15) ^ b.astype(np.uint64)
+        return t.append_column("_p2", pa.array((h % np.uint64(P)).astype(np.int32)))
+
+    def cos_part(g: pa.Table) -> pa.Table:
         empty = pa.table(
             {
                 "id_a": pa.array([], pa.int64()),
@@ -954,21 +1110,50 @@ def verify_cosine_pairs(
                 "sim": pa.array([], pa.float64()),
             }
         )
-        if not (side == 0).any() or not (side == 1).any():
+        n = g.num_rows
+        if n == 0:
             return empty
-        i0 = int(np.argmax(side == 0))
-        i1 = int(np.argmax(side == 1))
-        va = np.asarray(g.column("vec")[i0].as_py(), np.float64)
-        vb = np.asarray(g.column("vec")[i1].as_py(), np.float64)
+        a = g.column("a").to_numpy()
+        b = g.column("b").to_numpy()
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, b, a))
+        a, b, side = a[order], b[order], side[order]
+        vecs = g.column("vec").combine_chunks().take(pa.array(order, pa.int64()))
+        offs = vecs.offsets.to_numpy()
+        vals = vecs.values.to_numpy(zero_copy_only=False)
+        dup = np.zeros(n, dtype=bool)
+        if n > 1:
+            dup[1:] = (a[1:] == a[:-1]) & (b[1:] == b[:-1]) & (side[1:] == side[:-1])
+        keep_idx = np.nonzero(~dup)[0]
+        a, b = a[keep_idx], b[keep_idx]
+        m = len(keep_idx)
+        new_pair = np.ones(m, dtype=bool)
+        if m > 1:
+            new_pair[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(new_pair)[0]
+        lens = np.diff(np.append(starts, m))
+        good = starts[lens == 2]
+        if not len(good):
+            return empty
+        dim = int(offs[1] - offs[0]) if len(offs) > 1 else 0
+        i0 = keep_idx[good]
+        i1 = keep_idx[good + 1]
+        va = vals[offs[i0][:, None] + np.arange(dim)]
+        vb = vals[offs[i1][:, None] + np.arange(dim)]
+        sims = np.round(np.einsum("ij,ij->i", va, vb), 6)
         return pa.table(
             {
-                "id_a": g.column("a").slice(0, 1),
-                "id_b": g.column("b").slice(0, 1),
-                "sim": pa.array([round(float(va @ vb), 6)], pa.float64()),
+                "id_a": pa.array(a[good], pa.int64()),
+                "id_b": pa.array(b[good], pa.int64()),
+                "sim": pa.array(sims, pa.float64()),
             }
         )
 
-    return sided.groupby(["a", "b"]).map_groups(cos, batch_format="pyarrow")
+    return (
+        sided.map_batches(add_pair_part, batch_format="pyarrow")
+        .groupby("_p2")
+        .map_groups(cos_part, batch_format="pyarrow")
+    )
 
 
 def embedding_neardup_lsh(
