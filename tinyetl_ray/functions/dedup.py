@@ -723,17 +723,32 @@ def lsh_clusters_distributed(
         pa.table({"doc_id": pa.array(touched), "label": pa.array(touched)})
     ).repartition(max(1, min(_shuffle_blocks(), len(touched) // 10_000 + 1)))
 
-    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
-        # one co-partitioned bucket: exactly one label row (src == -1) plus
-        # the edges whose dst is this key; forward the label to each src and
-        # keep the node's own label
-        lab = int(g.loc[g["src"] == -1, "label"].min())
-        key = int(g["key"].iloc[0])
-        srcs = g.loc[g["src"] >= 0, "src"].to_numpy(dtype=np.int64)
+    P = _shuffle_blocks() * 4
+
+    def _resolve_part(g: pd.DataFrame) -> pd.DataFrame:
+        # VECTORIZED within the hash partition: label rows sorted by key,
+        # edge rows probe them with one searchsorted — forwards label[dst]
+        # to every src and keeps each node's own label (a groupby on the
+        # raw key would cost a Python callback per node)
+        lab = g[g["src"] == -1]
+        ed = g[g["src"] >= 0]
+        lk = lab["key"].to_numpy(np.int64)
+        lv = lab["label"].to_numpy(np.int64)
+        order = np.argsort(lk, kind="stable")
+        lks, lvs = lk[order], lv[order]
+        if len(ed) and len(lks):
+            ek = ed["key"].to_numpy(np.int64)
+            idx = np.clip(np.searchsorted(lks, ek), 0, len(lks) - 1)
+            hit = lks[idx] == ek
+            fwd_doc = ed["src"].to_numpy(np.int64)[hit]
+            fwd_lab = lvs[idx[hit]]
+        else:
+            fwd_doc = np.empty(0, np.int64)
+            fwd_lab = np.empty(0, np.int64)
         return pd.DataFrame(
             {
-                "doc_id": np.concatenate([[key], srcs]),
-                "label": np.full(1 + len(srcs), lab, dtype=np.int64),
+                "doc_id": np.concatenate([lk, fwd_doc]),
+                "label": np.concatenate([lv, fwd_lab]),
             }
         )
 
@@ -741,21 +756,34 @@ def lsh_clusters_distributed(
     for _ in range(max_iters):
         l_rows = labels.map_batches(
             lambda df: pd.DataFrame(
-                {"key": df["doc_id"], "src": np.int64(-1), "label": df["label"]}
+                {
+                    "key": df["doc_id"].to_numpy(np.int64),
+                    "_part": (
+                        df["doc_id"].to_numpy(np.int64).astype(np.uint64) % np.uint64(P)
+                    ).astype(np.int32),
+                    "src": np.int64(-1),
+                    "label": df["label"],
+                }
             ),
             batch_format="pandas",
         )
         e_rows = edges.map_batches(
             lambda df: pd.DataFrame(
-                {"key": df["dst"], "src": df["src"], "label": np.int64(-1)}
+                {
+                    "key": df["dst"].to_numpy(np.int64),
+                    "_part": (
+                        df["dst"].to_numpy(np.int64).astype(np.uint64) % np.uint64(P)
+                    ).astype(np.int32),
+                    "src": df["src"],
+                    "label": np.int64(-1),
+                }
             ),
             batch_format="pandas",
         )
         labels = (
             l_rows.union(e_rows)
-            .groupby("key")
-            .map_groups(_resolve, batch_format="pandas")
-            .repartition(_shuffle_blocks())  # per-group fragments → bounded blocks
+            .groupby("_part")
+            .map_groups(_resolve_part, batch_format="pandas")
             .groupby("doc_id")
             .aggregate(Min("label", alias_name="label"))
             .repartition(_shuffle_blocks())  # keep next iteration's task count flat

@@ -22,6 +22,17 @@ from ..stages.transform import ExpressionTransform
 from ..stages.validate import ColumnSpec, SchemaValidator
 
 
+def _wide_parts() -> int:
+    """Shuffle-partition count for key-partitioned operators (hash keys are
+    routed MOD this, then each partition is processed vectorized — never a
+    Python callback per key)."""
+    try:
+        cores = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cores = 16
+    return max(16, cores)
+
+
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
     # clean_read strips the testdata's pandas schema metadata (unhashable →
     # Ray re-ships schemas per shuffle task otherwise)
@@ -194,36 +205,63 @@ def events_hopping_window(sf_dir: str) -> ray.data.Dataset:
 
 def events_running_total(sf_dir: str) -> ray.data.Dataset:
     """Cumulative per-user running sum ordered by event time — the
-    window-frame ROWS UNBOUNDED PRECEDING pattern: co-partition by user,
-    in-group sort + cumsum (vectorized)."""
+    window-frame ROWS UNBOUNDED PRECEDING pattern: hash-partition by user,
+    ONE sort + pandas groupby.cumsum per partition (vectorized)."""
+    import numpy as np
     import pandas as pd
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        g = g.assign(running_value=g["value"].cumsum().round(4))
+    P = _wide_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_part"] = (
+            df["user_id"].to_numpy(np.int64).astype(np.uint64) % np.uint64(P)
+        ).astype(np.int32)
+        return df
+
+    def running_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g = g.assign(
+            running_value=g.groupby("user_id", sort=False)["value"].cumsum().round(4)
+        )
         return g[["event_id", "user_id", "running_value"]]
 
     return (
         _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
-        .groupby("user_id")
-        .map_groups(running, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(running_part, batch_format="pandas")
     )
 
 
 def events_sessionize(sf_dir: str) -> ray.data.Dataset:
     """Session windows (30-min inactivity gap) per user — the canonical
-    partition-by-key + in-group ordered scan: groupby(user).map_groups with a
-    pandas cumulative gap counter. Sessions are data-defined, so correctness
-    does not depend on Ray block order."""
+    partition-by-key + ordered scan, vectorized over each HASH PARTITION:
+    one sort by (user, ts), session breaks by vectorized diff (a new user
+    always breaks), one pandas groupby-agg per partition (C-speed; a
+    map_groups per user would pay a Python callback per key)."""
+    import numpy as np
     import pandas as pd
 
     GAP_US = 30 * 60 * 1_000_000
+    P = _wide_parts()
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts", kind="mergesort")
-        ts = g["ts"].astype("datetime64[us]").astype("int64")  # pin µs units
-        new_session = (ts.diff().fillna(GAP_US + 1) > GAP_US).cumsum()
-        out = g.groupby(new_session).agg(
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_part"] = (
+            df["user_id"].to_numpy(np.int64).astype(np.uint64) % np.uint64(P)
+        ).astype(np.int32)
+        return df
+
+    def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()  # pin µs
+        uid = g["user_id"].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            brk[1:] = (uid[1:] != uid[:-1]) | (ts[1:] - ts[:-1] > GAP_US)
+        sess = np.cumsum(brk)
+        out = g.groupby(sess, sort=False).agg(
             user_id=("user_id", "first"),
             session_start=("ts", "min"),
             session_end=("ts", "max"),
@@ -233,8 +271,9 @@ def events_sessionize(sf_dir: str) -> ray.data.Dataset:
 
     return (
         _read(sf_dir, "events", columns=["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(sessions_part, batch_format="pandas")
     )
 
 
@@ -353,39 +392,42 @@ def asof_join_events_orders(sf_dir: str) -> ray.data.Dataset:
 
 def asof_join_partitioned(sf_dir: str) -> ray.data.Dataset:
     """AS-OF JOIN, large-large variant: both sides hash-co-partitioned on
-    the key via one unioned groupby — per group, the order dates sort once
-    and every event answers with a vectorized searchsorted. Use when the
-    orders side outgrows a broadcast; same oracle as the broadcast variant.
-    Partitioning assumption: all rows of one key meet in one group (Ray's
-    groupby guarantees it)."""
+    the key, then ONE pd.merge_asof(by=key) per partition — the in-group
+    backward scan fully vectorized in C (a map_groups per key would pay a
+    Python callback per customer). Use when the orders side outgrows a
+    broadcast; same oracle as the broadcast variant. Partitioning
+    assumption: all rows of one key share a partition (key % P does)."""
     import numpy as np
     import pandas as pd
 
-    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
-        lambda df: pd.DataFrame(
+    P = _wide_parts()
+
+    def tag(df: pd.DataFrame, key: str, is_order: bool) -> pd.DataFrame:
+        k = df[key].to_numpy(np.int64)
+        return pd.DataFrame(
             {
-                "key": df["user_id"].astype("int64"),
-                "event_id": df["event_id"].astype("int64"),
-                "ts": df["ts"].astype("datetime64[us]").astype("int64"),
-                "is_order": np.zeros(len(df), dtype=bool),
+                "key": k,
+                "_part": (k.astype(np.uint64) % np.uint64(P)).astype(np.int32),
+                "event_id": df["event_id"].to_numpy(np.int64)
+                if not is_order
+                else np.full(len(df), -1, np.int64),
+                "ts": df["ts" if not is_order else "o_orderdate"]
+                .astype("datetime64[us]")
+                .astype("int64"),
+                "is_order": np.full(len(df), is_order),
             }
-        ),
-        batch_format="pandas",
+        )
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        lambda df: tag(df, "user_id", False), batch_format="pandas"
     )
     od = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "key": df["o_custkey"].astype("int64"),
-                "event_id": np.full(len(df), -1, dtype="int64"),
-                "ts": df["o_orderdate"].astype("datetime64[us]").astype("int64"),
-                "is_order": np.ones(len(df), dtype=bool),
-            }
-        ),
-        batch_format="pandas",
+        lambda df: tag(df, "o_custkey", True), batch_format="pandas"
     )
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        evs = g[~g["is_order"]]
+    def resolve_part(g: pd.DataFrame) -> pd.DataFrame:
+        evs = g[~g["is_order"]].sort_values("ts", kind="mergesort")
+        ods = g[g["is_order"]].sort_values("ts", kind="mergesort")
         if not len(evs):
             return pd.DataFrame(
                 {
@@ -394,22 +436,23 @@ def asof_join_partitioned(sf_dir: str) -> ray.data.Dataset:
                     "last_order_date": pd.Series([], dtype="datetime64[ns]"),
                 }
             )
-        dates = np.sort(g.loc[g["is_order"], "ts"].to_numpy())
-        ts = evs["ts"].to_numpy()
-        if len(dates):
-            idx = np.searchsorted(dates, ts, side="right") - 1
-            out = np.where(idx >= 0, dates[np.clip(idx, 0, None)].astype("float64"), np.nan)
-        else:
-            out = np.full(len(evs), np.nan)
+        joined = pd.merge_asof(
+            evs[["key", "event_id", "ts"]],
+            ods[["key", "ts"]].rename(columns={"ts": "od"}),
+            by="key",
+            left_on="ts",
+            right_on="od",
+            direction="backward",
+        )
         return pd.DataFrame(
             {
-                "event_id": evs["event_id"].to_numpy(),
-                "user_id": np.full(len(evs), int(g["key"].iloc[0]), dtype="int64"),
-                "last_order_date": pd.to_datetime(out, unit="us"),
+                "event_id": joined["event_id"].to_numpy(),
+                "user_id": joined["key"].to_numpy(),
+                "last_order_date": pd.to_datetime(joined["od"], unit="us"),
             }
         )
 
-    return ev.union(od).groupby("key").map_groups(resolve, batch_format="pandas")
+    return ev.union(od).groupby("_part").map_groups(resolve_part, batch_format="pandas")
 
 
 def range_join_events_parts(sf_dir: str) -> ray.data.Dataset:
@@ -450,21 +493,36 @@ def range_join_events_parts(sf_dir: str) -> ray.data.Dataset:
 
 def topk_per_group(sf_dir: str) -> ray.data.Dataset:
     """Top-3 orders per customer by price (the window-function row_number
-    pattern Ray Data lacks natively): groupby(key).map_groups with an
-    in-group vectorized sort — one shuffle, no global sort."""
+    pattern Ray Data lacks natively): hash-partition by customer, then ONE
+    vectorized sort + pandas groupby.head per partition (C-speed — a
+    map_groups per customer would pay a Python callback per key)."""
+    import numpy as np
     import pandas as pd
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
+    P = _wide_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_part"] = (
+            df["o_custkey"].to_numpy(np.int64).astype(np.uint64) % np.uint64(P)
+        ).astype(np.int32)
+        return df
+
+    def top3_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
-        ).head(3)
-        g = g.assign(rn=range(1, len(g) + 1))
-        return g
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        g = g.groupby("o_custkey", sort=False).head(3).copy()
+        g["rn"] = g.groupby("o_custkey", sort=False).cumcount() + 1
+        return g.drop(columns=["_part"])
 
     return (
         _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
-        .groupby("o_custkey")
-        .map_groups(top3, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(top3_part, batch_format="pandas")
     )
 
 
