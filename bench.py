@@ -272,6 +272,15 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
     t0 = time.perf_counter()
     _sp(clean_read_parquet(big_docs), max_distance=3).count()
     queries["dedup_simhash_100k"] = round(time.perf_counter() - t0, 3)
+    from tinyetl_ray.functions.dedup import lsh_clusters_distributed as _lcd
+
+    t0 = time.perf_counter()
+    _lcd(
+        clean_read_parquet(big_docs), bands=16, verify_threshold=0.5, max_iters=16
+    ).count()
+    secs = time.perf_counter() - t0
+    queries["dedup_minhash_clusters_100k"] = round(secs, 3)
+    queries["cluster_docs_per_sec"] = round(100_000 / secs)
 
     return {
         "metric": "cdc_replay_commit_wide_sec",

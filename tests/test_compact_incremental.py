@@ -475,3 +475,48 @@ def test_read_conversation_pruned(tmp_path):
     c = mf.latest_commit(root)
     max_turn = max(m.get("max_turn_idx", -1) for m in c["partitions"])
     assert max_turn < 64  # fixture turns < turn_block → 1 block → 1 file read
+
+
+def test_edge_cases_vacuum_tail_conversation(tmp_path):
+    """Robustness: vacuum with oversized retention, tail on an empty dir,
+    read_conversation/time-travel on fresh tables."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=1)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files, num_partitions=4)
+    # keep_last beyond history: nothing deleted
+    res = cdc.vacuum(root, keep_last=10)
+    assert res["deleted_files"] == 0
+    # tail over an empty watch dir exits after max_idle_polls with no commits
+    watch = tmp_path / "empty"
+    os.makedirs(watch)
+    assert cdc.tail(root, str(watch), poll_secs=0.01, max_idle_polls=2) == []
+    # vacuum on a missing table raises
+    with pytest.raises(FileNotFoundError):
+        cdc.vacuum(str(tmp_path / "nope"))
+
+
+def test_tail_with_schema_evolution(tmp_path):
+    """Files landing in the tail dir may carry NEW columns mid-stream —
+    additive evolution must apply through the tail loop."""
+    e0 = make_changes(n_events=600, n_convs=10, seed=5, n_epochs=1)[0]
+    e1 = make_changes(
+        n_events=600, n_convs=10, seed=6, n_epochs=1, start_lsn=10_000,
+        evolve_from_epoch=0,
+    )[0]
+    assert "model" in e1.column_names and "model" not in e0.column_names
+    watch = tmp_path / "incoming"
+    os.makedirs(watch)
+    pq.write_table(e0, watch / "0000.parquet")
+    pq.write_table(e1, watch / "0001.parquet")
+    root = str(tmp_path / "t")
+    applied = cdc.tail(root, str(watch), num_partitions=4, poll_secs=0.01, max_idle_polls=2)
+    assert len(applied) == 2
+    got = cdc.read_table(root).to_pandas()
+    assert "model" in got.columns
+    df1 = e1.to_pandas()
+    df0 = e0.to_pandas()
+    df0["model"] = None
+    want = sequential_lww(pa.Table.from_pandas(
+        __import__("pandas").concat([df0, df1], ignore_index=True), preserve_index=False
+    ))
+    assert_frames_equal(got, want)

@@ -510,3 +510,24 @@ def test_hll_sketch_accuracy_and_merge():
     ds = ray.data.from_pandas(pd.DataFrame({"v": np.arange(12345, dtype=np.int64)}))
     est = approx_distinct(ds, "v", p=12)
     assert abs(est - 12345) / 12345 < 0.05
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis: exact dedup == pandas oracle for arbitrary corpora
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=6), min_size=1, max_size=40))
+def test_exact_dedup_property(texts):
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = exact_dedup(ray.data.from_pandas(df)).to_pandas()
+    want = df.sort_values("doc_id").drop_duplicates(subset=["text"], keep="first")
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
