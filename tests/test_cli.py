@@ -238,3 +238,53 @@ def test_generate_default_config(capsys):
     assert main(["generate-default-config"]) == 0
     out = capsys.readouterr().out
     assert "version: 1" in out and "source:" in out and "auth.bearer" in out
+
+
+def test_yaml_job_with_http_options(tmp_path, loopback_http):
+    """YAML jobs must pass protocol options (the review-found gap: the
+    options mapping never reached build_pipeline)."""
+    base, records = loopback_http
+    job = tmp_path / "job.yaml"
+    job.write_text(
+        f"source: {base}/secure.csv\n"
+        f"target: {tmp_path}/out\n"
+        "target_format: parquet\n"
+        "options:\n"
+        "  auth.bearer: tok123\n"
+        "  header.X-Custom: from-yaml\n"
+    )
+    assert main(["run", str(job)]) == 0
+    assert records[-1]["auth"] == "Bearer tok123"
+    assert records[-1]["x_custom"] == "from-yaml"
+    total = sum(
+        pq.read_table(os.path.join(f"{tmp_path}/out", f)).num_rows
+        for f in os.listdir(f"{tmp_path}/out")
+        if f.endswith(".parquet")
+    )
+    assert total == 2
+
+
+def test_default_config_template_parses(tmp_path, capsys):
+    """The canned template (comments stripped, one option uncommented) must
+    be accepted by the engine's own YAML subset parser."""
+    from tinyetl_ray.cli import _DEFAULT_CONFIG_TEMPLATE, _mini_yaml
+
+    cfg = _mini_yaml(_DEFAULT_CONFIG_TEMPLATE)
+    assert cfg["source"] and cfg["target"] and cfg["version"] == 1
+    # uncomment every template option and re-parse
+    uncommented = "\n".join(
+        line[2:] if line.startswith("# ") and ":" in line else line
+        for line in _DEFAULT_CONFIG_TEMPLATE.splitlines()
+        if not line.strip().startswith("#") or (line.startswith("# ") and ":" in line)
+    )
+    cfg2 = _mini_yaml(uncommented)
+    assert "transform" in cfg2 and "options" in cfg2
+
+
+def test_transfer_append_counts_only_new_rows(emp_csv, tmp_path, capsys):
+    """Append mode must report THIS run's rows, not the directory total."""
+    out = str(tmp_path / "out")
+    assert main(["transfer", emp_csv, out, "--target-format", "parquet"]) == 0
+    assert "transferred 3 rows" in capsys.readouterr().out
+    assert main(["transfer", emp_csv, out, "--target-format", "parquet"]) == 0
+    assert "transferred 3 rows" in capsys.readouterr().out  # not 6

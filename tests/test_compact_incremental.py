@@ -520,3 +520,27 @@ def test_tail_with_schema_evolution(tmp_path):
         __import__("pandas").concat([df0, df1], ignore_index=True), preserve_index=False
     ))
     assert_frames_equal(got, want)
+
+
+def test_tail_survives_pruned_and_late_files(tmp_path):
+    """Applied files removed by the shipper, and a late file sorting BEFORE
+    an applied one, must not stall or skip the tailer (file-name state, not
+    a count cursor)."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=3)
+    watch = tmp_path / "incoming"
+    os.makedirs(watch)
+    root = str(tmp_path / "t")
+    os.link(files[0][0], watch / "0005.parquet")
+    cdc.tail(root, str(watch), num_partitions=4, poll_secs=0.01, max_idle_polls=2)
+    # shipper prunes the applied file; a new one lands
+    os.remove(watch / "0005.parquet")
+    os.link(files[1][0], watch / "0007.parquet")
+    applied = cdc.tail(root, str(watch), num_partitions=4, poll_secs=0.01, max_idle_polls=2)
+    assert len(applied) == 1, "tailer stalled after shipper pruned applied files"
+    # a LATE file sorting before the applied ones still gets applied
+    os.link(files[2][0], watch / "0001.parquet")
+    applied = cdc.tail(root, str(watch), num_partitions=4, poll_secs=0.01, max_idle_polls=2)
+    assert len(applied) == 1, "late-sorting file skipped"
+    got = cdc.read_table(root).to_pandas()
+    want = sequential_lww(pa.concat_tables(epochs))
+    assert_frames_equal(got, want)

@@ -285,3 +285,26 @@ def test_sql_keyset_pagination(tmp_path):
     # column projection
     just_ids = read_table_keyset("items", "id", factory, batch_size=1000, columns=["id"])
     assert just_ids.schema().names == ["id"]
+
+
+def test_sql_keyset_duplicate_keys(tmp_path):
+    """Non-unique key columns must not lose rows across page boundaries
+    (pages advance over DISTINCT keys, fetching full key ranges)."""
+    import sqlite3
+
+    from tinyetl_ray.sources.sql import read_table_keyset, write_table
+
+    db = str(tmp_path / "dup.db")
+
+    def factory():
+        return sqlite3.connect(db, check_same_thread=False)
+
+    # 10 rows at k=1, interleaved with unique keys; page size smaller than
+    # the duplicate run
+    rows = [{"k": 1, "v": f"a{i}"} for i in range(10)]
+    rows += [{"k": i, "v": f"b{i}"} for i in range(2, 8)]
+    src = pd.DataFrame(rows)
+    write_table(ray.data.from_pandas(src), "dups", factory)
+    got = read_table_keyset("dups", "k", factory, batch_size=4).to_pandas()
+    assert len(got) == len(src)
+    assert sorted(got["v"]) == sorted(src["v"])

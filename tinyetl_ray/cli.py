@@ -204,15 +204,23 @@ def cmd_transfer(args) -> int:
         shutil.rmtree(args.target)
     import time
 
+    pre_existing = (
+        set(os.listdir(args.target)) if os.path.isdir(args.target) else set()
+    )
     t0 = time.perf_counter()
     write_any(ds, args.target, fmt=args.target_format)
     secs = time.perf_counter() - t0
     # row count from target METADATA (parquet footers / line counts / avro
     # block headers) — counting the lazy Dataset would re-execute the whole
-    # pipeline and skew the rows/sec stat
+    # pipeline; in append mode only THIS run's new part files count
     from .sources.io import count_written_rows
 
-    n = count_written_rows(args.target, fmt=args.target_format)
+    new_files = (
+        set(os.listdir(args.target)) - pre_existing
+        if os.path.isdir(args.target)
+        else None
+    )
+    n = count_written_rows(args.target, fmt=args.target_format, only_files=new_files)
     # TransferStats parity (transfer.rs:15-20, :188-198)
     print(
         f"transferred {n} rows -> {args.target} "
@@ -223,9 +231,19 @@ def cmd_transfer(args) -> int:
 
 def cmd_run(args) -> int:
     cfg = _mini_yaml(expand_env(open(args.job).read()))
+    # protocol options come from a top-level `options:` mapping and/or any
+    # extra keys of a structured `source:` block (header.*, auth.*)
+    opts: list[str] = []
+    if isinstance(cfg.get("options"), dict):
+        opts += [f"{k}={v}" for k, v in cfg["options"].items()]
+    if isinstance(cfg.get("source"), dict):
+        opts += [
+            f"{k}={v}" for k, v in cfg["source"].items() if k != "uri"
+        ]
     ns = argparse.Namespace(
         source=cfg["source"]["uri"] if isinstance(cfg.get("source"), dict) else cfg["source"],
         target=cfg["target"]["uri"] if isinstance(cfg.get("target"), dict) else cfg["target"],
+        options=opts or None,
         transform=cfg.get("transform"),
         filter=cfg.get("filter"),
         schema_file=cfg.get("schema_file"),
@@ -274,11 +292,13 @@ _DEFAULT_CONFIG_TEMPLATE = """\
 version: 1
 
 source: "employees.csv"          # path, file://, or http(s):// URI
-# source options (http protocol):
-#   header.User-Agent: "tinyetl-ray"
-#   auth.basic.username: "user"
-#   auth.basic.password: "${PASSWORD}"
-#   auth.bearer: "${TOKEN}"
+
+# http(s) protocol options — a top-level mapping (each key indented):
+# options:
+#   header.User-Agent: tinyetl-ray
+#   auth.basic.username: user
+#   auth.basic.password: ${PASSWORD}
+#   auth.bearer: ${TOKEN}
 
 target: "employees.parquet"      # output path; extension picks the format
 
@@ -291,9 +311,8 @@ target: "employees.parquet"      # output path; extension picks the format
 # sniff_types: false             # promote CSV string columns by consensus
 # target_format: parquet         # override extension-based dispatch
 # filter: "price > 100"          # row filter expression
-# transform: |                   # ordered column assignments
-#   full_name = first + ' ' + last
-#   annual = monthly * 12
+# ordered column assignments, ';'-separated on one line:
+# transform: "full_name = first + ' ' + last; annual = monthly * 12"
 """
 
 

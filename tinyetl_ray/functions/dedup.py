@@ -420,6 +420,7 @@ def verify_jaccard_pairs(
                 "a": pa.array([], pa.int64()),
                 "b": pa.array([], pa.int64()),
                 "jaccard": pa.array([], pa.float64()),
+                "jaccard_raw": pa.array([], pa.float64()),
             }
         )
         n = g.num_rows
@@ -456,14 +457,16 @@ def verify_jaccard_pairs(
             union = len(ga) + len(gb) - inter
             out_a.append(a[s0])
             out_b.append(b[s0])
-            out_j.append(round(1.0 if union == 0 else inter / union, 6))
+            out_j.append(1.0 if union == 0 else inter / union)
         if not out_a:
             return empty
+        raw = np.asarray(out_j, np.float64)
         return pa.table(
             {
                 "a": pa.array(out_a, pa.int64()),
                 "b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                "jaccard": pa.array(np.round(raw, 6), pa.float64()),
+                "jaccard_raw": pa.array(raw, pa.float64()),
             }
         )
 
@@ -497,22 +500,29 @@ def lsh_candidate_pairs(
 
     def banded(df: pd.DataFrame) -> pd.DataFrame:
         out = _band_rows(df, bands, rows_per_band)
-        # one combined bucket key + bounded shuffle partition (a groupby on
-        # the raw bucket would cost a Python callback per distinct bucket)
-        key = (
-            out["band"].to_numpy(np.int64) << np.int64(48)
-        ) ^ out["band_hash"].to_numpy(np.int64)
-        out["bucket"] = key
-        out["_part"] = (key.astype(np.uint64) % np.uint64(P)).astype(np.int32)
-        return out[["bucket", "_part", "doc_id"]]
+        # route on a MIXED hash of (band, band_hash) but SEGMENT on the real
+        # two-column key below — a combined 64-bit key would admit
+        # cross-band bucket collisions (a structured xor was shown to
+        # collide when hashes differ by exactly band_a^band_b << k)
+        h = out["band_hash"].to_numpy(np.int64).astype(np.uint64) ^ (
+            (out["band"].to_numpy(np.int64).astype(np.uint64) + np.uint64(1))
+            * np.uint64(0x9E3779B97F4A7C15)
+        )
+        out["_part"] = (h % np.uint64(P)).astype(np.int32)
+        return out[["band", "band_hash", "_part", "doc_id"]]
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # segmented per-bucket pair generation over the whole partition
-        g = g.sort_values(["bucket", "doc_id"], kind="mergesort")
-        bk = g["bucket"].to_numpy()
+        # segmented per-bucket pair generation over the whole partition,
+        # bucket boundaries detected on BOTH key columns (collision-free)
+        g = g.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
+        band = g["band"].to_numpy()
+        bh = g["band_hash"].to_numpy()
         ids = g["doc_id"].to_numpy(np.int64)
-        _, starts = np.unique(bk, return_index=True)
-        bounds = np.append(starts, len(bk))
+        new_bucket = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_bucket[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.nonzero(new_bucket)[0]
+        bounds = np.append(starts, len(g))
         out_a, out_b = [], []
         for s0, s1 in zip(bounds[:-1], bounds[1:]):
             seg = np.unique(ids[s0:s1])
@@ -562,8 +572,12 @@ def ngram_jaccard_pairs(
         ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, star_only=False
     ).materialize()  # verify reads it twice (id set + pair sides)
     verified = verify_jaccard_pairs(cand, ds, shingle_k=shingle_k)
+    # threshold applies to the RAW value (like the SQL oracle); the rounded
+    # column is the reported one
     return verified.map_batches(
-        lambda t, th=threshold: t.filter(pc.greater_equal(t.column("jaccard"), th)),
+        lambda t, th=threshold: t.filter(
+            pc.greater_equal(t.column("jaccard_raw"), th)
+        ).drop_columns(["jaccard_raw"]),
         batch_format="pyarrow",
     )
 
@@ -680,7 +694,7 @@ def lsh_clusters_distributed(
         verified = verify_jaccard_pairs(cand, ds, shingle_k=shingle_k)
         cand = verified.map_batches(
             lambda t, th=verify_threshold: t.filter(
-                pc.greater_equal(t.column("jaccard"), th)
+                pc.greater_equal(t.column("jaccard_raw"), th)
             ).select(["a", "b"]),
             batch_format="pyarrow",
         ).materialize()
@@ -1015,24 +1029,52 @@ def rp_lsh_candidate_pairs(
             }
         )
 
-    banded = ds.map_batches(band_rows, batch_format="pyarrow")
+    P = _shuffle_blocks() * 4
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2:
+    def banded(t: pa.Table) -> pa.Table:
+        out = band_rows(t)
+        h = out.column("band_hash").to_numpy().astype(np.uint64) ^ (
+            (out.column("band").to_numpy().astype(np.uint64) + np.uint64(1))
+            * np.uint64(0x9E3779B97F4A7C15)
+        )
+        return out.append_column(
+            "_part", pa.array((h % np.uint64(P)).astype(np.int32))
+        )
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # segmented per-bucket pair generation (boundaries on both key
+        # columns; no Python callback per bucket)
+        g = g.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
+        band = g["band"].to_numpy()
+        bh = g["band_hash"].to_numpy()
+        ids = g["doc_id"].to_numpy(np.int64)
+        new_bucket = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_bucket[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.nonzero(new_bucket)[0]
+        bounds = np.append(starts, len(g))
+        out_a, out_b = [], []
+        for s0, s1 in zip(bounds[:-1], bounds[1:]):
+            seg = np.unique(ids[s0:s1])
+            if len(seg) < 2:
+                continue
+            ia, ib = np.triu_indices(len(seg), k=1)
+            out_a.append(seg[ia])
+            out_b.append(seg[ib])
+        if not out_a:
             return pd.DataFrame(
                 {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
             )
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ia], "b": ids[ib]})
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
 
-    return (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .repartition(_shuffle_blocks())  # coalesce per-group fragments
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+    pairs = (
+        ds.map_batches(banded, batch_format="pyarrow")
+        .groupby("_part")
+        .map_groups(part_pairs, batch_format="pandas")
     )
+    return _dedup_pairs(pairs)
 
 
 def verify_cosine_pairs(
@@ -1136,6 +1178,7 @@ def verify_cosine_pairs(
                 "id_a": pa.array([], pa.int64()),
                 "id_b": pa.array([], pa.int64()),
                 "sim": pa.array([], pa.float64()),
+                "sim_raw": pa.array([], pa.float64()),
             }
         )
         n = g.num_rows
@@ -1168,12 +1211,13 @@ def verify_cosine_pairs(
         i1 = keep_idx[good + 1]
         va = vals[offs[i0][:, None] + np.arange(dim)]
         vb = vals[offs[i1][:, None] + np.arange(dim)]
-        sims = np.round(np.einsum("ij,ij->i", va, vb), 6)
+        raw = np.einsum("ij,ij->i", va, vb)
         return pa.table(
             {
                 "id_a": pa.array(a[good], pa.int64()),
                 "id_b": pa.array(b[good], pa.int64()),
-                "sim": pa.array(sims, pa.float64()),
+                "sim": pa.array(np.round(raw, 6), pa.float64()),
+                "sim_raw": pa.array(raw, pa.float64()),
             }
         )
 
@@ -1200,8 +1244,12 @@ def embedding_neardup_lsh(
         ds, n_tables=n_tables, n_bits=n_bits, id_col=id_col
     ).materialize()  # verify reads it twice (id set + pair sides)
     verified = verify_cosine_pairs(cand, ds, id_col=id_col)
+    # threshold on the RAW cosine (matching the SQL oracle and the exact
+    # broadcast baseline); rounded column is the reported one
     return verified.map_batches(
-        lambda t, th=threshold: t.filter(pc.greater(t.column("sim"), th)),
+        lambda t, th=threshold: t.filter(
+            pc.greater(t.column("sim_raw"), th)
+        ).drop_columns(["sim_raw"]),
         batch_format="pyarrow",
     )
 

@@ -109,12 +109,21 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     import io
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        rate = w.getframerate()
-        n = w.getnframes()
-        raw = w.readframes(n)
-        width = w.getsampwidth()
-        ch = w.getnchannels()
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            raw = w.readframes(n)
+            width = w.getsampwidth()
+            ch = w.getnchannels()
+    except wave.Error as err:  # non-PCM RIFF → the honest codec gate
+        raise NotImplementedError(
+            f"unsupported WAV encoding (stdlib wave cannot read it): {err}"
+        ) from err
+    if width not in (1, 2, 4):  # e.g. 24-bit studio PCM
+        raise NotImplementedError(
+            f"unsupported WAV sample width {width * 8} bits (need 8/16/32)"
+        )
     dt = {1: np.int8, 2: np.int16, 4: np.int32}[width]
     arr = np.frombuffer(raw, dtype=dt).astype(np.float64)
     if ch > 1:

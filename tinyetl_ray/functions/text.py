@@ -154,7 +154,10 @@ class BpeishTokenCount:
     PATTERN = r"[a-z]+|[0-9]+|[^\sa-z0-9]+"
 
     def __init__(self):
-        self.re = re.compile(self.PATTERN)
+        # re.ASCII pins \s to ASCII whitespace like DuckDB's RE2 — Python's
+        # Unicode \s would split on NBSP/ideographic space where the oracle
+        # does not, diverging the counts on zh text
+        self.re = re.compile(self.PATTERN, re.ASCII)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy(deep=False)

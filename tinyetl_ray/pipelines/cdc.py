@@ -634,33 +634,59 @@ def tail(
 ) -> list[dict[str, Any]]:
     """WAL/binlog TAIL loop: watch ``watch_dir`` for new change files
     (lexicographic order = epoch order, the convention log shippers follow)
-    and apply each unseen file as the next change epoch. Resume is free:
-    ``last_change_epoch`` in the commit says how many files were already
-    applied, so a restarted tailer skips them without re-reading.
+    and apply each unseen file as the next change epoch.
+
+    Applied files are tracked BY NAME in an atomically-updated sidecar
+    (``_commits/TAIL_STATE``), not by count: a shipper may prune files the
+    tailer already applied, or a late file may sort before an applied one —
+    a count-based cursor would silently stall or skip in both cases. The
+    state file is written AFTER the commit, so a crash between commit and
+    state update re-applies one epoch — a no-op under LWW idempotence.
 
     ``max_idle_polls`` bounds the loop for tests/batch drains (None = run
     until interrupted). Returns the commits applied."""
+    import json
+
+    state_path = os.path.join(table_root, mf.COMMITS_DIR, "TAIL_STATE")
+
+    def load_state() -> set[str]:
+        if not os.path.exists(state_path):
+            return set()
+        with open(state_path) as f:
+            return set(json.load(f)["applied"])
+
+    def save_state(names: set[str]) -> None:
+        mf._atomic_write_bytes(
+            state_path, json.dumps({"applied": sorted(names)}).encode()
+        )
+
     applied: list[dict[str, Any]] = []
     idle = 0
     while True:
+        seen = load_state()
         files = sorted(
-            os.path.join(watch_dir, f)
-            for f in os.listdir(watch_dir)
-            if f.endswith(".parquet")
+            f for f in os.listdir(watch_dir) if f.endswith(".parquet")
         )
-        done = _last_change_epoch(mf.latest_commit(table_root)) + 1
-        if done < len(files):
+        new = [f for f in files if f not in seen]
+        if new:
             idle = 0
-            epoch_files = [[f] for f in files]
-            applied.extend(
-                replay_commit(
+            base_epoch = _last_change_epoch(mf.latest_commit(table_root)) + 1
+            # pad the epoch list so replay_commit's change-epoch indices
+            # continue after the already-applied count
+            epoch_files = [[] for _ in range(base_epoch)] + [
+                [os.path.join(watch_dir, f)] for f in new
+            ]
+            for i, f in enumerate(new):
+                commits = replay_commit(
                     table_root,
-                    epoch_files,
+                    epoch_files[: base_epoch + i + 1],
                     num_partitions=num_partitions,
                     turn_block=turn_block,
                     on_error=on_error,
                 )
-            )
+                applied.extend(commits)
+                seen.add(f)
+                save_state(seen)
         else:
             idle += 1
             if max_idle_polls is not None and idle >= max_idle_polls:

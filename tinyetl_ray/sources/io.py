@@ -95,14 +95,23 @@ def write_any(ds: ray.data.Dataset, path: str, fmt: str | None = None) -> str:
     return path
 
 
-def count_written_rows(path: str, fmt: str | None = None) -> int:
+def count_written_rows(
+    path: str, fmt: str | None = None, only_files: set[str] | None = None
+) -> int:
     """Row count of a just-written target from METADATA only — parquet
     footers, csv/jsonl line counts, avro block headers. Lets the CLI report
-    TransferStats without re-executing the (lazy) pipeline a second time."""
+    TransferStats without re-executing the (lazy) pipeline a second time.
+
+    ``only_files``: restrict to these basenames — in append mode the target
+    directory also holds PREVIOUS runs' part files, which must not count
+    toward this run's stats."""
     fmt = fmt or os.path.splitext(path)[1].lstrip(".").lower() or "parquet"
     files = (
         sorted(
-            os.path.join(path, f) for f in os.listdir(path) if not f.startswith(".")
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith(".")
+            and (only_files is None or f in only_files)
         )
         if os.path.isdir(path)
         else [path]

@@ -51,12 +51,12 @@ def read_table_keyset(
     columns: list[str] | None = None,
 ) -> ray.data.Dataset:
     """KEYSET-paginated read (the reference's odbc.rs:233-256 fix for O(n²)
-    OFFSET pagination, generalized to any DBAPI source): successive
-    ``WHERE key > last ORDER BY key LIMIT n`` pages, each page emitted as
-    one block via a generator datasource — O(n log n) total with an index
-    on ``key_col``, constant client memory, and a stable resume cursor (the
-    last key seen IS the checkpoint, exactly like the engine's LSN
-    watermark)."""
+    OFFSET pagination, generalized to any DBAPI source): pages advance over
+    DISTINCT key values and each page fetches its full closed key range, so
+    duplicate keys are never split/dropped across pages — O(n log n) total
+    with an index on ``key_col``, bounded client memory, and a stable
+    resume cursor (the last key IS the checkpoint, exactly like the
+    engine's LSN watermark)."""
     import os
     import tempfile
 
@@ -64,9 +64,14 @@ def read_table_keyset(
     import pyarrow.parquet as pq
 
     sel = ", ".join(columns) if columns else "*"
-    # pages spill to parquet as they arrive (driver memory = ONE page), then
-    # the distributed read takes over — also makes the ingest resumable at
-    # page granularity
+    # Pages are keyed on DISTINCT key values, then each page fetches the
+    # closed key range (key > last AND key <= hi): a plain `key > last`
+    # cursor over rows SILENTLY DROPS the remaining duplicates of a
+    # boundary key when key_col is non-unique. Page row count is
+    # batch_size × (max duplicates per key) — document key cardinality
+    # accordingly. Pages spill to parquet as they arrive (driver memory =
+    # ONE page), then the distributed read takes over — also makes the
+    # ingest resumable at page granularity.
     spill = tempfile.mkdtemp(prefix="tinyetl-keyset-")
     n_pages = 0
     with _closing(connection_factory()) as conn:
@@ -75,23 +80,38 @@ def read_table_keyset(
         while True:
             if last is None:
                 cur.execute(
-                    f"SELECT {sel} FROM {table} ORDER BY {key_col} LIMIT ?",
+                    f"SELECT DISTINCT {key_col} FROM {table} "
+                    f"ORDER BY {key_col} LIMIT ?",
                     (batch_size,),
                 )
             else:
                 cur.execute(
-                    f"SELECT {sel} FROM {table} WHERE {key_col} > ? "
+                    f"SELECT DISTINCT {key_col} FROM {table} WHERE {key_col} > ? "
                     f"ORDER BY {key_col} LIMIT ?",
                     (last, batch_size),
                 )
-            rows = cur.fetchall()
-            if not rows:
+            keys = cur.fetchall()
+            if not keys:
                 break
+            # NATIVE python scalar: numpy types bind as blobs in sqlite3
+            # and silently match nothing
+            hi = keys[-1][0]
+            if last is None:
+                cur.execute(
+                    f"SELECT {sel} FROM {table} WHERE {key_col} <= ? "
+                    f"ORDER BY {key_col}",
+                    (hi,),
+                )
+            else:
+                cur.execute(
+                    f"SELECT {sel} FROM {table} WHERE {key_col} > ? "
+                    f"AND {key_col} <= ? ORDER BY {key_col}",
+                    (last, hi),
+                )
+            rows = cur.fetchall()
             names = [d[0] for d in cur.description]
             df = pd.DataFrame(rows, columns=names)
-            # cursor must be a NATIVE python scalar: numpy types bind as
-            # blobs in sqlite3 and silently match nothing
-            last = rows[-1][names.index(key_col)]
+            last = hi
             pq.write_table(
                 pa.Table.from_pandas(df, preserve_index=False),
                 os.path.join(spill, f"page-{n_pages:06d}.parquet"),
