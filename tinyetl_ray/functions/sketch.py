@@ -28,6 +28,10 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
 
 def hll_registers(values: np.ndarray, p: int = 12) -> np.ndarray:
     """Fold integer values into 2^p HLL registers (uint8)."""
+    if not 11 <= p <= 18:
+        # the frexp rank trick below is exact only while ranks fit the
+        # 53-bit float view (needs p >= 11); p > 18 wastes memory
+        raise ValueError(f"p must be in [11, 18], got {p}")
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
     if len(values) == 0:
