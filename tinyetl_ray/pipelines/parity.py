@@ -357,32 +357,39 @@ def asof_join_events_orders(sf_dir: str) -> ray.data.Dataset:
     import pandas as pd
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).to_pandas()
-    orders["d"] = orders["o_orderdate"].astype("datetime64[us]").astype("int64")
-    by_key = {
-        k: np.sort(g["d"].to_numpy()) for k, g in orders.groupby("o_custkey")
-    }
-    ref = ray.put(by_key)
+    od = pd.DataFrame(
+        {
+            "key": orders["o_custkey"].to_numpy(np.int64),
+            "d": orders["o_orderdate"].astype("datetime64[us]").astype("int64"),
+        }
+    ).sort_values("d", kind="mergesort")
+    ref = ray.put(od)
 
     class AsOf:
         def __init__(self):
-            self.by_key = ray.get(ref)  # once per actor
+            self.od = ray.get(ref)  # once per actor
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            ts = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
-            uid = df["user_id"].to_numpy()
-            out = np.full(len(df), np.nan)
-            # vectorized per distinct key present in the batch
-            for k in pd.unique(uid):
-                dates = self.by_key.get(k)
-                if dates is None:
-                    continue
-                m = uid == k
-                idx = np.searchsorted(dates, ts[m], side="right") - 1
-                vals = np.where(idx >= 0, dates[np.clip(idx, 0, None)], np.nan)
-                out[m] = vals
-            res = df[["event_id", "user_id"]].copy()
-            res["last_order_date"] = pd.to_datetime(out, unit="us")
-            return res
+            # one C-speed merge_asof per batch against the broadcast orders
+            # frame (a per-distinct-key Python loop was the old hot path)
+            left = pd.DataFrame(
+                {
+                    "key": df["user_id"].to_numpy(np.int64),
+                    "event_id": df["event_id"].to_numpy(np.int64),
+                    "ts": df["ts"].astype("datetime64[us]").astype("int64"),
+                }
+            ).sort_values("ts", kind="mergesort")
+            joined = pd.merge_asof(
+                left, self.od, by="key", left_on="ts", right_on="d",
+                direction="backward",
+            )
+            return pd.DataFrame(
+                {
+                    "event_id": joined["event_id"].to_numpy(),
+                    "user_id": joined["key"].to_numpy(),
+                    "last_order_date": pd.to_datetime(joined["d"], unit="us"),
+                }
+            )
 
     return (
         _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
