@@ -35,11 +35,52 @@ def _shuffle_blocks() -> int:
     straight into the next shuffle makes task count — not data — the cost
     (measured: label blocks grew 192→320 per propagation iteration and each
     iteration doubled in wall time). Coalesce to ~cores/2, floor 8."""
-    try:
-        cores = int(ray.cluster_resources().get("CPU", 16))
-    except Exception:
-        cores = 16
-    return max(8, cores // 2)
+    from ..hashing import shuffle_blocks
+
+    return shuffle_blocks(floor=8, divisor=2)
+
+
+def _mix_band_hash(band: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
+    """Routing hash over (band, band_hash) — a MIXED hash, never a packed
+    key: a structured combine (band << k ^ hash) admits cross-band bucket
+    collisions. Segmentation must still use BOTH raw columns."""
+    with np.errstate(over="ignore"):
+        return band_hash.astype(np.uint64) ^ (
+            (band.astype(np.uint64) + np.uint64(1)) * np.uint64(0x9E3779B97F4A7C15)
+        )
+
+
+def _segmented_bucket_pairs(g: pd.DataFrame, star_only: bool) -> pd.DataFrame:
+    """Per-bucket pair generation over a whole hash partition: one sort,
+    bucket boundaries detected on BOTH (band, band_hash) columns, numpy
+    triu/star expansion per segment — no Python callback per bucket.
+    Shared by the MinHash and random-projection LSH paths."""
+    g = g.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
+    band = g["band"].to_numpy()
+    bh = g["band_hash"].to_numpy()
+    ids = g["doc_id"].to_numpy(np.int64)
+    new_bucket = np.ones(len(g), dtype=bool)
+    if len(g) > 1:
+        new_bucket[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    starts = np.nonzero(new_bucket)[0]
+    bounds = np.append(starts, len(g))
+    out_a, out_b = [], []
+    for s0, s1 in zip(bounds[:-1], bounds[1:]):
+        seg = np.unique(ids[s0:s1])
+        if len(seg) < 2:
+            continue
+        if star_only:
+            out_a.append(np.full(len(seg) - 1, seg[0]))
+            out_b.append(seg[1:])
+        else:
+            ia, ib = np.triu_indices(len(seg), k=1)
+            out_a.append(seg[ia])
+            out_b.append(seg[ib])
+    if not out_a:
+        return pd.DataFrame(
+            {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
+        )
+    return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
 def _dedup_pairs(
@@ -500,53 +541,19 @@ def lsh_candidate_pairs(
 
     def banded(df: pd.DataFrame) -> pd.DataFrame:
         out = _band_rows(df, bands, rows_per_band)
-        # route on a MIXED hash of (band, band_hash) but SEGMENT on the real
-        # two-column key below — a combined 64-bit key would admit
-        # cross-band bucket collisions (a structured xor was shown to
-        # collide when hashes differ by exactly band_a^band_b << k)
-        h = out["band_hash"].to_numpy(np.int64).astype(np.uint64) ^ (
-            (out["band"].to_numpy(np.int64).astype(np.uint64) + np.uint64(1))
-            * np.uint64(0x9E3779B97F4A7C15)
+        h = _mix_band_hash(
+            out["band"].to_numpy(np.int64), out["band_hash"].to_numpy(np.int64)
         )
         out["_part"] = (h % np.uint64(P)).astype(np.int32)
         return out[["band", "band_hash", "_part", "doc_id"]]
 
-    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # segmented per-bucket pair generation over the whole partition,
-        # bucket boundaries detected on BOTH key columns (collision-free)
-        g = g.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
-        band = g["band"].to_numpy()
-        bh = g["band_hash"].to_numpy()
-        ids = g["doc_id"].to_numpy(np.int64)
-        new_bucket = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            new_bucket[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.nonzero(new_bucket)[0]
-        bounds = np.append(starts, len(g))
-        out_a, out_b = [], []
-        for s0, s1 in zip(bounds[:-1], bounds[1:]):
-            seg = np.unique(ids[s0:s1])
-            if len(seg) < 2:
-                continue
-            if star_only:
-                out_a.append(np.full(len(seg) - 1, seg[0]))
-                out_b.append(seg[1:])
-            else:
-                ia, ib = np.triu_indices(len(seg), k=1)
-                out_a.append(seg[ia])
-                out_b.append(seg[ib])
-        if not out_a:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
-            )
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
-        )
-
     pairs = (
         sigs.map_batches(banded, batch_format="pandas")
         .groupby("_part")
-        .map_groups(part_pairs, batch_format="pandas")
+        .map_groups(
+            lambda g, s=star_only: _segmented_bucket_pairs(g, s),
+            batch_format="pandas",
+        )
     )
     return _dedup_pairs(pairs).repartition(_shuffle_blocks())
 
@@ -1033,46 +1040,20 @@ def rp_lsh_candidate_pairs(
 
     def banded(t: pa.Table) -> pa.Table:
         out = band_rows(t)
-        h = out.column("band_hash").to_numpy().astype(np.uint64) ^ (
-            (out.column("band").to_numpy().astype(np.uint64) + np.uint64(1))
-            * np.uint64(0x9E3779B97F4A7C15)
+        h = _mix_band_hash(
+            out.column("band").to_numpy(), out.column("band_hash").to_numpy()
         )
         return out.append_column(
             "_part", pa.array((h % np.uint64(P)).astype(np.int32))
         )
 
-    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # segmented per-bucket pair generation (boundaries on both key
-        # columns; no Python callback per bucket)
-        g = g.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
-        band = g["band"].to_numpy()
-        bh = g["band_hash"].to_numpy()
-        ids = g["doc_id"].to_numpy(np.int64)
-        new_bucket = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            new_bucket[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
-        starts = np.nonzero(new_bucket)[0]
-        bounds = np.append(starts, len(g))
-        out_a, out_b = [], []
-        for s0, s1 in zip(bounds[:-1], bounds[1:]):
-            seg = np.unique(ids[s0:s1])
-            if len(seg) < 2:
-                continue
-            ia, ib = np.triu_indices(len(seg), k=1)
-            out_a.append(seg[ia])
-            out_b.append(seg[ib])
-        if not out_a:
-            return pd.DataFrame(
-                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}
-            )
-        return pd.DataFrame(
-            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
-        )
-
     pairs = (
         ds.map_batches(banded, batch_format="pyarrow")
         .groupby("_part")
-        .map_groups(part_pairs, batch_format="pandas")
+        .map_groups(
+            lambda g: _segmented_bucket_pairs(g, star_only=False),
+            batch_format="pandas",
+        )
     )
     return _dedup_pairs(pairs)
 

@@ -124,8 +124,13 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(
             f"unsupported WAV sample width {width * 8} bits (need 8/16/32)"
         )
-    dt = {1: np.int8, 2: np.int16, 4: np.int32}[width]
-    arr = np.frombuffer(raw, dtype=dt).astype(np.float64)
+    if width == 1:
+        # 8-bit PCM is UNSIGNED (0x80 = silence); reading it signed would
+        # wrap around the sign bit
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        dt = {2: np.int16, 4: np.int32}[width]
+        arr = np.frombuffer(raw, dtype=dt).astype(np.float64)
     if ch > 1:
         arr = arr.reshape(-1, ch).mean(axis=1)
     return arr / float(2 ** (8 * width - 1)), rate

@@ -68,3 +68,24 @@ def hash_combine(h: np.ndarray, ints: np.ndarray) -> np.ndarray:
         x *= _MIX
         x ^= x >> np.uint64(29)
         return h ^ (x + np.uint64(0x9E3779B97F4A7C15) + (h << np.uint64(6)) + (h >> np.uint64(2)))
+
+
+def shuffle_blocks(floor: int = 8, divisor: int = 2) -> int:
+    """Cluster-sized block/partition count for slim shuffle intermediates
+    (coalesce to ~cores/divisor with a floor — task count, not bytes, is
+    the cost driver for small blocks)."""
+    try:
+        import ray
+
+        cores = int(ray.cluster_resources().get("CPU", 16))
+    except Exception:
+        cores = 16
+    return max(floor, cores // divisor)
+
+
+def mod_partition(keys: np.ndarray, num_partitions: int) -> np.ndarray:
+    """int32 routing column: key % P over an int-like key array (the shared
+    'route by key, process partitions vectorized' pattern)."""
+    return (
+        np.asarray(keys, dtype=np.int64).astype(np.uint64) % np.uint64(num_partitions)
+    ).astype(np.int32)

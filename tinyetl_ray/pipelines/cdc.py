@@ -321,8 +321,13 @@ def replay_commit(
     turn_block: int = DEFAULT_TURN_BLOCK,
     on_error: str = "raise",
     quarantine_dir: str | None = None,
+    first_change_epoch: int = 0,
 ) -> list[dict[str, Any]]:
     """Apply change epochs to the committed table at ``table_root``.
+
+    ``first_change_epoch``: global change-epoch index of ``epoch_files[0]``
+    — lets incremental callers (the tail loop) submit only NEW epochs
+    instead of padding the already-applied prefix.
 
     ``epoch_files[e]`` = parquet files of CHANGE epoch e (global change-epoch
     numbering — the checkpoint resumes by SKIPPING change epochs already
@@ -361,7 +366,7 @@ def replay_commit(
     new table root with a different P.
     """
     commits: list[dict[str, Any]] = []
-    for change_epoch, files in enumerate(epoch_files):
+    for change_epoch, files in enumerate(epoch_files, start=first_change_epoch):
         prev = mf.latest_commit(table_root)
         if _last_change_epoch(prev) >= change_epoch:
             continue  # checkpoint resume: change epoch already applied
@@ -636,12 +641,15 @@ def tail(
     (lexicographic order = epoch order, the convention log shippers follow)
     and apply each unseen file as the next change epoch.
 
-    Applied files are tracked BY NAME in an atomically-updated sidecar
-    (``_commits/TAIL_STATE``), not by count: a shipper may prune files the
-    tailer already applied, or a late file may sort before an applied one —
-    a count-based cursor would silently stall or skip in both cases. The
-    state file is written AFTER the commit, so a crash between commit and
-    state update re-applies one epoch — a no-op under LWW idempotence.
+    Applied files are tracked by (name, size, mtime_ns) FINGERPRINT in an
+    atomically-updated sidecar (``_commits/TAIL_STATE``), not by count: a
+    shipper may prune files the tailer already applied, a late file may
+    sort before an applied one, and a pruned NAME may even be reused for
+    new content — a count-based cursor would silently stall or skip in all
+    three cases. State entries for names no longer present in the watch
+    dir are retired, bounding the sidecar to the directory size. The state
+    update lands AFTER the commit, so a crash between the two re-applies
+    one epoch — a no-op under LWW idempotence.
 
     ``max_idle_polls`` bounds the loop for tests/batch drains (None = run
     until interrupted). Returns the commits applied."""
@@ -649,15 +657,19 @@ def tail(
 
     state_path = os.path.join(table_root, mf.COMMITS_DIR, "TAIL_STATE")
 
-    def load_state() -> set[str]:
-        if not os.path.exists(state_path):
-            return set()
-        with open(state_path) as f:
-            return set(json.load(f)["applied"])
+    def fingerprint(path: str) -> list:
+        st = os.stat(path)
+        return [st.st_size, st.st_mtime_ns]
 
-    def save_state(names: set[str]) -> None:
+    def load_state() -> dict[str, list]:
+        if not os.path.exists(state_path):
+            return {}
+        with open(state_path) as f:
+            return json.load(f)["applied"]
+
+    def save_state(state: dict[str, list]) -> None:
         mf._atomic_write_bytes(
-            state_path, json.dumps({"applied": sorted(names)}).encode()
+            state_path, json.dumps({"applied": state}).encode()
         )
 
     applied: list[dict[str, Any]] = []
@@ -667,25 +679,28 @@ def tail(
         files = sorted(
             f for f in os.listdir(watch_dir) if f.endswith(".parquet")
         )
-        new = [f for f in files if f not in seen]
+        # retire entries for pruned files (keeps the state bounded; a reused
+        # name will mismatch on fingerprint and be re-processed anyway)
+        seen = {k: v for k, v in seen.items() if k in set(files)}
+        new = [
+            f
+            for f in files
+            if seen.get(f) != fingerprint(os.path.join(watch_dir, f))
+        ]
         if new:
             idle = 0
-            base_epoch = _last_change_epoch(mf.latest_commit(table_root)) + 1
-            # pad the epoch list so replay_commit's change-epoch indices
-            # continue after the already-applied count
-            epoch_files = [[] for _ in range(base_epoch)] + [
-                [os.path.join(watch_dir, f)] for f in new
-            ]
-            for i, f in enumerate(new):
+            for f in new:
+                base_epoch = _last_change_epoch(mf.latest_commit(table_root)) + 1
                 commits = replay_commit(
                     table_root,
-                    epoch_files[: base_epoch + i + 1],
+                    [[os.path.join(watch_dir, f)]],
                     num_partitions=num_partitions,
                     turn_block=turn_block,
                     on_error=on_error,
+                    first_change_epoch=base_epoch,
                 )
                 applied.extend(commits)
-                seen.add(f)
+                seen[f] = fingerprint(os.path.join(watch_dir, f))
                 save_state(seen)
         else:
             idle += 1

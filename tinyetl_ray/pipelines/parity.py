@@ -26,11 +26,19 @@ def _wide_parts() -> int:
     """Shuffle-partition count for key-partitioned operators (hash keys are
     routed MOD this, then each partition is processed vectorized — never a
     Python callback per key)."""
-    try:
-        cores = int(ray.cluster_resources().get("CPU", 16))
-    except Exception:
-        cores = 16
-    return max(16, cores)
+    from ..hashing import shuffle_blocks
+
+    return shuffle_blocks(floor=16, divisor=1)
+
+
+def _with_part(df, key_col: str, P: int):
+    """Append the int32 `_part` routing column = key % P (shared by every
+    key-partitioned parity operator)."""
+    from ..hashing import mod_partition
+
+    df = df.copy(deep=False)
+    df["_part"] = mod_partition(df[key_col].to_numpy(), P)
+    return df
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
@@ -213,11 +221,7 @@ def events_running_total(sf_dir: str) -> ray.data.Dataset:
     P = _wide_parts()
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        df["_part"] = (
-            df["user_id"].to_numpy(np.int64).astype(np.uint64) % np.uint64(P)
-        ).astype(np.int32)
-        return df
+        return _with_part(df, "user_id", P)
 
     def running_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
@@ -247,11 +251,7 @@ def events_sessionize(sf_dir: str) -> ray.data.Dataset:
     P = _wide_parts()
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        df["_part"] = (
-            df["user_id"].to_numpy(np.int64).astype(np.uint64) % np.uint64(P)
-        ).astype(np.int32)
-        return df
+        return _with_part(df, "user_id", P)
 
     def sessions_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
@@ -509,11 +509,7 @@ def topk_per_group(sf_dir: str) -> ray.data.Dataset:
     P = _wide_parts()
 
     def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy(deep=False)
-        df["_part"] = (
-            df["o_custkey"].to_numpy(np.int64).astype(np.uint64) % np.uint64(P)
-        ).astype(np.int32)
-        return df
+        return _with_part(df, "o_custkey", P)
 
     def top3_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(

@@ -74,14 +74,33 @@ def read_table_keyset(
     # ingest resumable at page granularity.
     spill = tempfile.mkdtemp(prefix="tinyetl-keyset-")
     n_pages = 0
+
+    def write_page(rows, description) -> None:
+        nonlocal n_pages
+        if not rows:
+            return
+        names = [d[0] for d in description]
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(rows, columns=names), preserve_index=False
+            ),
+            os.path.join(spill, f"page-{n_pages:06d}.parquet"),
+        )
+        n_pages += 1
+
     with _closing(connection_factory()) as conn:
         cur = conn.cursor()
+        # NULL keys compare false to everything, so the range pages below
+        # would silently drop them (and an all-NULL key column would loop
+        # forever) — fetch them once up front
+        cur.execute(f"SELECT {sel} FROM {table} WHERE {key_col} IS NULL")
+        write_page(cur.fetchall(), cur.description)
         last = None
         while True:
             if last is None:
                 cur.execute(
                     f"SELECT DISTINCT {key_col} FROM {table} "
-                    f"ORDER BY {key_col} LIMIT ?",
+                    f"WHERE {key_col} IS NOT NULL ORDER BY {key_col} LIMIT ?",
                     (batch_size,),
                 )
             else:
@@ -108,15 +127,8 @@ def read_table_keyset(
                     f"AND {key_col} <= ? ORDER BY {key_col}",
                     (last, hi),
                 )
-            rows = cur.fetchall()
-            names = [d[0] for d in cur.description]
-            df = pd.DataFrame(rows, columns=names)
+            write_page(cur.fetchall(), cur.description)
             last = hi
-            pq.write_table(
-                pa.Table.from_pandas(df, preserve_index=False),
-                os.path.join(spill, f"page-{n_pages:06d}.parquet"),
-            )
-            n_pages += 1
     if n_pages == 0:
         return ray.data.from_pandas(pd.DataFrame())
     return ray.data.read_parquet(spill)
