@@ -531,3 +531,23 @@ def test_exact_dedup_property(texts):
     got = exact_dedup(ray.data.from_pandas(df)).to_pandas()
     want = df.sort_values("doc_id").drop_duplicates(subset=["text"], keep="first")
     assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+
+
+def test_wav_8bit_unsigned():
+    """8-bit PCM is unsigned: digital silence (0x80) must decode to 0.0."""
+    import io
+    import wave
+
+    from tinyetl_ray.functions.multimodal import decode_wav
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([0x80] * 100 + [0xFF] * 10 + [0x00] * 10))
+    samples, rate = decode_wav(buf.getvalue())
+    assert rate == 8000
+    assert np.allclose(samples[:100], 0.0)          # silence at midpoint
+    assert samples[100:110].max() > 0.9             # full-scale positive
+    assert samples[110:120].min() < -0.9            # full-scale negative

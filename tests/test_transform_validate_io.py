@@ -308,3 +308,35 @@ def test_sql_keyset_duplicate_keys(tmp_path):
     got = read_table_keyset("dups", "k", factory, batch_size=4).to_pandas()
     assert len(got) == len(src)
     assert sorted(got["v"]) == sorted(src["v"])
+
+
+def test_sql_keyset_null_keys(tmp_path):
+    """NULL keys must be returned (range predicates never match NULL) and an
+    all-NULL key column must terminate."""
+    import sqlite3
+
+    from tinyetl_ray.sources.sql import read_table_keyset
+
+    db = str(tmp_path / "n.db")
+
+    def factory():
+        return sqlite3.connect(db, check_same_thread=False)
+
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t (k INTEGER, v TEXT)")
+    conn.executemany(
+        "INSERT INTO t VALUES (?, ?)",
+        [(None, "null1"), (None, "null2"), (1, "a"), (2, "b"), (3, "c")],
+    )
+    conn.commit()
+    conn.close()
+    got = read_table_keyset("t", "k", factory, batch_size=2).to_pandas()
+    assert sorted(got["v"]) == ["a", "b", "c", "null1", "null2"]
+    # all-NULL key column terminates with just the null page
+    conn = sqlite3.connect(db)
+    conn.execute("CREATE TABLE t2 (k INTEGER, v TEXT)")
+    conn.executemany("INSERT INTO t2 VALUES (?, ?)", [(None, "x"), (None, "y")])
+    conn.commit()
+    conn.close()
+    got2 = read_table_keyset("t2", "k", factory, batch_size=2).to_pandas()
+    assert sorted(got2["v"]) == ["x", "y"]
