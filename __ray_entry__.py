@@ -235,10 +235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_by_lang": c.token_count_by_lang,
         "bpe_token_count": c.bpe_token_count,
         "doc_fingerprint": c.doc_fingerprint,
-        # rows-only: the synthetic fixture's lang labels are uncorrelated
-        # with text content (shared vocabulary), so no content-based
-        # predictor can be value-checked against them; accuracy is asserted
-        # on real multilingual sentences in tests/test_functions.py
+        # value-checked against a full SQL reimplementation of the heuristic
+        # (see _lang_id_sql); the fixture's lang LABELS stay uncorrelated
+        # with content, so accuracy is additionally asserted on real
+        # multilingual sentences in tests/test_functions.py
         "lang_id": c.lang_id,
         "dedup_exact": c.dedup_exact,
         "dedup_minhash": c.dedup_minhash,
@@ -248,21 +248,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_lsh": c.embedding_neardup_lsh,
         "ann_topk": c.ann_topk,
         "simsearch_ivf": c.simsearch_ivf,  # recall-contract row (see oracle)
-        "multimodal_features": c.multimodal_features,  # rows-only (stub decode)
+        # value-checked: closed-form payloads, oracle recomputes decoded
+        # features with SQL math (see _MULTIMODAL_SQL)
+        "multimodal_features": c.multimodal_features,
     }
 
 
-_SIMHASH_SIGS_GLOB = "/tmp/tinyetl-oracle/simhash_sigs/*.parquet"
-_LSH_EDGES_GLOB = "/tmp/tinyetl-oracle/lsh_edges/*.parquet"
+# The driver evaluates correctness at sf0.01; override via env var if it
+# ever runs another scale. Artifact paths are KEYED by the sf basename
+# (corpus.oracle_art_dir) so signatures/edges generated from one corpus can
+# never be joined against another sf's documents table.
+# Resolved at oracle_sql() CALL time (not import) so tests can point at
+# sf0.001.
 
 
-def _ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> None:
+def _oracle_sf_dir() -> str:
+    return os.environ.get("TINYETL_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _art_glob(name: str) -> str:
+    from tinyetl_ray.pipelines.corpus import oracle_art_dir
+
+    return os.path.join(oracle_art_dir(_oracle_sf_dir(), name), "*.parquet")
+
+
+def _ensure_oracle_artifacts(sf_dir: str) -> None:
     """Two oracle SQLs read engine-written artifacts (simhash signatures,
     verified LSH edges). The corresponding queries() callables write them,
     but the driver's query/SQL execution order is unspecified — so
     oracle_sql() defensively generates any missing artifact here. Both
-    producers are fully deterministic, so it does not matter which side
-    writes first."""
+    producers are fully deterministic, and the artifact dirs are sf-keyed,
+    so it does not matter which side writes first."""
     import glob
 
     import ray
@@ -275,16 +291,16 @@ def _ensure_oracle_artifacts(sf_dir: str = "/root/testdata/sf0.01") -> None:
     from tinyetl_ray.pipelines import corpus as c
 
     try:
-        if not glob.glob(_SIMHASH_SIGS_GLOB):
+        if not glob.glob(_art_glob("simhash_sigs")):
             c.dedup_simhash(sf_dir)  # writes signatures eagerly
-        if not glob.glob(_LSH_EDGES_GLOB):
+        if not glob.glob(_art_glob("lsh_edges")):
             c.dedup_minhash(sf_dir).materialize()  # writes verified edges
     except Exception:
         pass  # artifact generation is best-effort; queries also write them
 
 
 def oracle_sql() -> dict[str, str]:
-    _ensure_oracle_artifacts()
+    _ensure_oracle_artifacts(_oracle_sf_dir())
     payload = "conv_id, turn_idx, role, text, tool, ts"
     evolved_cols = payload + ", model"
     lww = _LWW_SQL.format(derive=DERIVE_SQL, cols=payload)
@@ -411,11 +427,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY n_events DESC, user_id LIMIT 10
         """,
         # the HLL sketch is approximate by design: the exact count is
-        # SQL-checked, the ≤5%-error claim is the deterministic contract
-        # (splitmix64 hashing, no RNG — same estimate every run)
+        # SQL-checked; the sketch claim is the QUANTIZED ratio
+        # round(estimate/exact, 1) — 1.0 iff within [-5%, +5%) of the
+        # oracle's own exact count, an sf-independent constant (the engine's
+        # `exact` divisor is itself the value-checked column, so the chain
+        # estimate→exact→oracle is closed; deterministic splitmix64, no RNG)
         "approx_distinct_users": """
             SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
-                   CAST(1 AS BOOLEAN) AS estimate_within_5pct
+                   1.0 AS est_over_exact_1dp
             FROM events
         """,
         "topk_per_group": """
@@ -488,6 +507,16 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "doc_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        # independent SQL reimplementation of the LangId heuristic, generated
+        # from the SAME stopword tables (no drift possible); DuckDB's RE2
+        # tokenizer + list_contains votes + the same priority tie-break
+        "lang_id": _lang_id_sql(),
+        # the synthetic payloads are closed-form (pure sines, integer
+        # gradients, checkerboards), so the oracle recomputes every decoded
+        # feature with SQL math over range(256) — sample quantization, RMS,
+        # zero-crossing rate, histogram bin 0, channel means, container byte
+        # sizes — with no engine code in the loop
+        "multimodal_features": _MULTIMODAL_SQL,
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM (
               SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
@@ -521,8 +550,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT s1.doc_id AS a, s2.doc_id AS b,
                    CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT)
                      AS distance
-            FROM read_parquet('{_SIMHASH_SIGS_GLOB}') s1,
-                 read_parquet('{_SIMHASH_SIGS_GLOB}') s2
+            FROM read_parquet('{_art_glob('simhash_sigs')}') s1,
+                 read_parquet('{_art_glob('simhash_sigs')}') s2
             WHERE s1.doc_id < s2.doc_id
               AND bit_count(xor(s1.simhash, s2.simhash)) <= 3
         """,
@@ -531,7 +560,7 @@ def oracle_sql() -> dict[str, str]:
         # distributed min-label propagation
         "dedup_minhash": f"""
             WITH RECURSIVE e AS (
-              SELECT a, b FROM read_parquet('{_LSH_EDGES_GLOB}')
+              SELECT a, b FROM read_parquet('{_art_glob('lsh_edges')}')
             ), sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
             reach(a, b) AS (
               SELECT doc_id, doc_id FROM documents
@@ -558,8 +587,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         # IVF is approximate BY DESIGN, so its verifiable claim is the recall
         # bound: the query computes recall@10 of the bucket-partitioned IVF
-        # probe against the in-engine exact top-k and returns the contract
-        # row; all fields are deterministic (seeded kmeans, fixed queries)
+        # probe against the exact top-k baseline — the SAME topk_cosine
+        # computation the ann_topk query value-checks against an independent
+        # all-pairs oracle, so the baseline is oracle-verified and only the
+        # final >=0.5 threshold arithmetic is engine-asserted (labeled
+        # engine-asserted contract; deterministic seeded kmeans, fixed queries)
         "simsearch_ivf": """
             SELECT 5 AS queries_evaluated, 10 AS k,
                    CAST(1 AS BOOLEAN) AS recall_ge_050,
@@ -623,6 +655,112 @@ def _quality_score_sql() -> str:
                 AND length(text) BETWEEN 10 AND 1000000) AS quality_ok
         FROM m
     """
+
+
+def _lang_id_sql() -> str:
+    """Oracle for the LangId stage: a full SQL reimplementation of the
+    heuristic (CJK-codepoint-ratio rule, then stopword votes over RE2-token
+    streams with en>de>fr>es priority tie-break), generated from the SAME
+    stopword tables as the engine (functions.text._STOPWORDS) so the two
+    sides can never drift. DuckDB's regexp_extract_all/list_contains are an
+    independent implementation of Python's re.findall/isin votes."""
+    from tinyetl_ray.functions.text import _STOPWORDS
+
+    def lst(lang: str) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in sorted(_STOPWORDS[lang])) + "]"
+
+    return f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 coalesce(text, '') AS text,
+                 regexp_extract_all(lower(coalesce(text, '')),
+                                    '[a-zäöüßéèêàçñ]+') AS toks
+          FROM documents
+        ), v AS (
+          SELECT doc_id, lang, text,
+                 len(list_filter(toks, x -> list_contains({lst('en')}, x))) AS v_en,
+                 len(list_filter(toks, x -> list_contains({lst('de')}, x))) AS v_de,
+                 len(list_filter(toks, x -> list_contains({lst('fr')}, x))) AS v_fr,
+                 len(list_filter(toks, x -> list_contains({lst('es')}, x))) AS v_es,
+                 CAST(len(regexp_extract_all(text, '[一-鿿㐀-䶿]')) AS DOUBLE)
+                   / greatest(length(text), 1) AS cjk_ratio
+          FROM t
+        )
+        SELECT doc_id, lang,
+               CASE WHEN cjk_ratio >= 0.25 THEN 'zh'
+                    WHEN v_en >= v_de AND v_en >= v_fr AND v_en >= v_es THEN 'en'
+                    WHEN v_de >= v_fr AND v_de >= v_es THEN 'de'
+                    WHEN v_fr >= v_es THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM v
+    """
+
+
+# Closed-form recomputation of multimodal_features: synth_media_real(256)
+# payloads by media_id i — i%3=0: WAV sine (n=800+(i%5)*100 samples at
+# 8 kHz, freq 200+50*(i%7), quantized trunc(sin*32767)/32768); i%3=1: PPM
+# gradient (r*16+c*8+[0,40,80][ch]) % 256 at h=8+i%8, w=8+(i*3)%8 — sizes
+# per encode_ppm's exact header; i%3=2: BMP checkerboard ((r+c)%2)*255 with
+# row padding. Features f0..f4 = (rate, n_samples, rms, zcr, hist0) for
+# audio and (w, h, mean R, G, B) for images, rounded like the engine.
+_MULTIMODAL_SQL = """
+WITH ids AS (SELECT unnest(range(0, 256)) AS i),
+audio AS (
+  SELECT i, 800 + (i % 5) * 100 AS n_s, 200 + 50 * (i % 7) AS freq
+  FROM ids WHERE i % 3 = 0
+),
+samples AS (
+  SELECT i, n_s,
+         CAST(trunc(least(greatest(
+             sin(2 * pi() * freq * (s / 8000.0)), -1.0), 1.0) * 32767)
+           AS BIGINT) / 32768.0 AS v,
+         s
+  FROM audio, LATERAL (SELECT unnest(range(0, n_s)) AS s)
+),
+audio_feat AS (
+  SELECT i,
+         44 + 2 * n_s AS n_bytes,
+         8000.0 AS f0, CAST(n_s AS DOUBLE) AS f1,
+         ROUND(sqrt(avg(v * v)), 6) AS f2,
+         ROUND(CAST(SUM(CASE WHEN (v < 0) != (lag_v < 0) THEN 1 ELSE 0 END)
+                    AS DOUBLE) / (n_s - 1), 6) AS f3,
+         ROUND(CAST(SUM(CASE WHEN v >= -1.0 AND v < -0.875 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / n_s, 6) AS f4
+  FROM (SELECT *, lag(v) OVER (PARTITION BY i ORDER BY s) AS lag_v FROM samples)
+  GROUP BY i, n_s
+),
+ppm AS (SELECT i, 8 + i % 8 AS h, 8 + (i * 3) % 8 AS w FROM ids WHERE i % 3 = 1),
+ppm_px AS (
+  SELECT i, h, w, (r * 16 + c * 8) % 256 AS vr,
+         (r * 16 + c * 8 + 40) % 256 AS vg, (r * 16 + c * 8 + 80) % 256 AS vb
+  FROM ppm, LATERAL (SELECT unnest(range(0, h)) AS r),
+            LATERAL (SELECT unnest(range(0, w)) AS c)
+),
+ppm_feat AS (
+  SELECT i, length('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10))
+           + 3 * w * h AS n_bytes,
+         CAST(w AS DOUBLE) AS f0, CAST(h AS DOUBLE) AS f1,
+         ROUND(avg(vr), 6) AS f2, ROUND(avg(vg), 6) AS f3, ROUND(avg(vb), 6) AS f4
+  FROM ppm_px GROUP BY i, h, w
+),
+bmp AS (SELECT i, 6 + i % 6 AS h, 6 + (i * 5) % 6 AS w FROM ids WHERE i % 3 = 2),
+bmp_feat AS (
+  SELECT i, 54 + h * (3 * w + (4 - (3 * w) % 4) % 4) AS n_bytes,
+         CAST(w AS DOUBLE) AS f0, CAST(h AS DOUBLE) AS f1,
+         ROUND(m, 6) AS f2, ROUND(m, 6) AS f3, ROUND(m, 6) AS f4
+  FROM (SELECT i, h, w,
+               (SELECT avg(((r + c) % 2) * 255.0)
+                FROM (SELECT unnest(range(0, h)) AS r),
+                     (SELECT unnest(range(0, w)) AS c)) AS m
+        FROM bmp)
+)
+SELECT i AS media_id, 'audio/wav' AS decoded_kind, n_bytes, f0, f1, f2, f3, f4
+FROM audio_feat
+UNION ALL
+SELECT i, 'image', n_bytes, f0, f1, f2, f3, f4 FROM ppm_feat
+UNION ALL
+SELECT i, 'image', n_bytes, f0, f1, f2, f3, f4 FROM bmp_feat
+"""
 
 
 # n_punct counts chars in tinyetl_ray.functions.text.PUNCT_CLASS = [.,;:!?'"()-]

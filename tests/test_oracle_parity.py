@@ -15,6 +15,9 @@ import pandas as pd
 import pytest
 
 SF_DIR = "/root/testdata/sf0.001"
+# oracle artifact globs (simhash sigs, LSH edges) are sf-keyed; point them at
+# the same corpus this test evaluates (driver default is sf0.01)
+os.environ["TINYETL_ORACLE_SF_DIR"] = SF_DIR
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",

@@ -27,8 +27,14 @@ from ..functions.text import (
 # pair listing via bit_count(xor(..)), clusters via a recursive-CTE
 # connected components — INDEPENDENTLY of the engine's banding/propagation
 ORACLE_ART = "/tmp/tinyetl-oracle"
-SIMHASH_SIGS_DIR = os.path.join(ORACLE_ART, "simhash_sigs")
-LSH_EDGES_DIR = os.path.join(ORACLE_ART, "lsh_edges")
+
+
+def oracle_art_dir(sf_dir: str, name: str) -> str:
+    """Oracle-artifact dir keyed by the scale-factor basename so artifacts
+    generated from one corpus can never be joined against another sf's
+    tables (round-2 advice: the flat layout silently cross-read sf0.01
+    artifacts when the driver ran any other scale)."""
+    return os.path.join(ORACLE_ART, os.path.basename(os.path.normpath(sf_dir)), name)
 
 
 def _docs(sf_dir: str) -> ray.data.Dataset:
@@ -126,21 +132,23 @@ def dedup_minhash(sf_dir: str) -> ray.data.Dataset:
     distributed char-k-gram Jaccard verify of every candidate edge): no
     driver-side text, edges, or union-find. Verified edges are exported for
     the recursive-CTE connected-components oracle."""
-    shutil.rmtree(LSH_EDGES_DIR, ignore_errors=True)
+    edges_dir = oracle_art_dir(sf_dir, "lsh_edges")
+    shutil.rmtree(edges_dir, ignore_errors=True)
     return dd.lsh_clusters_distributed(
         _docs(sf_dir),
         bands=16,
         verify_threshold=0.5,
         max_iters=16,
-        edges_out=LSH_EDGES_DIR,
+        edges_out=edges_dir,
     )
 
 
 def dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     """Near-dup pairs (hamming ≤ 3) by banded SimHash — exact by pigeonhole;
     signatures exported so the oracle recomputes all-pairs bit_count(xor)."""
-    shutil.rmtree(SIMHASH_SIGS_DIR, ignore_errors=True)
-    return dd.simhash_pairs(_docs(sf_dir), max_distance=3, sigs_out=SIMHASH_SIGS_DIR)
+    sigs_dir = oracle_art_dir(sf_dir, "simhash_sigs")
+    shutil.rmtree(sigs_dir, ignore_errors=True)
+    return dd.simhash_pairs(_docs(sf_dir), max_distance=3, sigs_out=sigs_dir)
 
 
 def dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
@@ -187,15 +195,21 @@ def simsearch_ivf(sf_dir: str):
     """IVF over BUCKET-PARTITIONED storage: embeddings are written once
     partitioned by coarse centroid (nlist=16), the probe reads only the
     union of the queries' nprobe=4 bucket directories, and the result is
-    scored against the in-engine EXACT top-k. Returns the recall contract
-    row the oracle checks (IVF is approximate by design, so the value-exact
-    claim is the recall bound, not the pair list)."""
+    scored against the in-engine EXACT top-k.
+
+    Contract-row semantics (labeled per round-2 advice): IVF is approximate
+    by design, so the claim is the recall bound, not the pair list. The
+    recall comparison baseline — topk_cosine over the same (queries, k) —
+    is NOT self-certified: it is the exact same computation the `ann_topk`
+    query value-checks against an independent DuckDB all-pairs oracle. What
+    remains engine-asserted is only the final `recall >= 0.5` threshold
+    arithmetic over that oracle-verified baseline."""
     import pandas as pd
 
     mat, qids = _query_matrix(sf_dir)
     embs = _embs(sf_dir)
     cents = ss.ivf_build(embs, n_clusters=16)
-    store = os.path.join(ORACLE_ART, "ivf_store")
+    store = oracle_art_dir(sf_dir, "ivf_store")
     n_buckets = ss.ivf_write(embs, cents, store)
     approx = ss.ivf_topk_store(store, mat, qids, cents, k=10, nprobe=4).to_pandas()
     exact = ss.topk_cosine(_embs(sf_dir), mat, qids, k=10).to_pandas()
@@ -216,15 +230,41 @@ def simsearch_ivf(sf_dir: str):
 
 
 def multimodal_features(sf_dir: str) -> ray.data.Dataset:
-    """Rows-only: REAL binary-payload decode end to end — WAV (stdlib wave),
-    PPM and 24-bit BMP payloads decoded by the actor-pool CodecDecoder
-    (formats needing codec libraries stay behind its NotImplementedError
-    gate; DeterministicFakeDecoder remains for plumbing tests)."""
+    """REAL binary-payload decode end to end — WAV (stdlib wave), PPM and
+    24-bit BMP payloads decoded by the actor-pool CodecDecoder (formats
+    needing codec libraries stay behind its NotImplementedError gate;
+    DeterministicFakeDecoder remains for plumbing tests).
+
+    Value-checked per row: the synthetic payloads are closed-form (pure
+    sines, gradients, checkerboards), so the DuckDB oracle recomputes the
+    decoded features independently with SQL math over range(256) — sample
+    quantization, RMS, zero-crossing rate, histogram bin 0, channel means
+    and exact container byte sizes — with no engine code in the loop. The
+    query projects the first 5 feature slots as rounded scalars
+    (audio: rate, n_samples, rms, zcr, hist[0]; image: w, h, mean R/G/B)."""
+    import pyarrow.compute as pc
+
     media = mm.synth_media_real(256)
-    return ray.data.from_arrow(media).map_batches(
+    ds = ray.data.from_arrow(media).map_batches(
         mm.CodecDecoder,
         batch_format="pyarrow",
         batch_size=32,
         concurrency=2,
         num_cpus=0.5,
     )
+
+    def project(t: pa.Table) -> pa.Table:
+        feats = t.column("features")
+        cols = {
+            "media_id": t.column("media_id"),
+            "decoded_kind": t.column("decoded_kind"),
+            "n_bytes": t.column("n_bytes"),
+        }
+        for j in range(5):
+            v = pc.list_element(feats, j)
+            if j >= 2:
+                v = pc.round(v, ndigits=6)
+            cols[f"f{j}"] = v
+        return pa.table(cols)
+
+    return ds.map_batches(project, batch_format="pyarrow")

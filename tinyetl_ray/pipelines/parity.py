@@ -577,9 +577,15 @@ def heavy_users(sf_dir: str) -> ray.data.Dataset:
 
 def approx_distinct_users(sf_dir: str):
     """HyperLogLog distinct-user count (functions.sketch): fixed-size
-    registers folded per batch, merged by max — the contract row carries
-    the exact count (SQL-checkable) plus the deterministic ≤5%-error claim
-    for the sketch."""
+    registers folded per batch, merged by max.
+
+    The contract row is NOT self-certified (round-2 advice): exact_distinct
+    is computed by the engine's distributed distinct count and value-checked
+    against the oracle's independent COUNT(DISTINCT); the sketch claim is
+    quantized as round(estimate / exact, 1), which the oracle asserts equals
+    the sf-independent constant 1.0 — true iff the estimate is within
+    [-5%, +5%) of the oracle-verified exact count. The sketch is
+    deterministic (splitmix64, no RNG), so the ratio is reproducible."""
     import pandas as pd
 
     from ..functions.sketch import approx_distinct
@@ -595,7 +601,7 @@ def approx_distinct_users(sf_dir: str):
     return pd.DataFrame(
         {
             "exact_distinct": [int(exact)],
-            "estimate_within_5pct": [bool(abs(est - exact) / max(1, exact) <= 0.05)],
+            "est_over_exact_1dp": [round(est / max(1, exact), 1)],
         }
     )
 
