@@ -477,6 +477,30 @@ def test_read_conversation_pruned(tmp_path):
     assert max_turn < 64  # fixture turns < turn_block → 1 block → 1 file read
 
 
+def test_read_conversation_legacy_manifest(tmp_path):
+    """Manifests written before max_turn_idx existed must not make lookups
+    return empty/partial conversations: with the field missing, the prune
+    degrades to scanning every non-empty partition."""
+    import json
+
+    epochs, files = _write_epochs(tmp_path, n_epochs=2)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files, num_partitions=16)
+    full = cdc.read_table(root).to_pandas()
+    conv = full["conv_id"].value_counts().index[0]
+    want = cdc.read_conversation(root, conv).to_pandas()
+    # simulate a legacy table: strip max_turn_idx from the committed manifest
+    c = mf.latest_commit(root)
+    cpath = os.path.join(root, "_commits", f"epoch-{c['epoch']:06d}.json")
+    for m in c["partitions"]:
+        m.pop("max_turn_idx", None)
+    with open(cpath, "w") as f:
+        json.dump(c, f)
+    got = cdc.read_conversation(root, conv).to_pandas()
+    assert got["turn_idx"].tolist() == want["turn_idx"].tolist()
+    assert got["text"].tolist() == want["text"].tolist()
+
+
 def test_edge_cases_vacuum_tail_conversation(tmp_path):
     """Robustness: vacuum with oversized retention, tail on an empty dir,
     read_conversation/time-travel on fresh tables."""

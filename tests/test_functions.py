@@ -17,9 +17,9 @@ from tinyetl_ray.functions.dedup import (
     exact_dedup,
     hamming64,
     jaccard,
-    minhash_lsh_clusters,
     simhash_pairs,
 )
+from .util import union_find_lsh_clusters
 from tinyetl_ray.functions.multimodal import (
     CodecDecoder,
     DeterministicFakeDecoder,
@@ -133,12 +133,9 @@ def test_minhash_signature_similarity():
     assert abs(sim_ab - jaccard(a, b)) < 0.25  # minhash estimates jaccard
 
 
-def test_minhash_lsh_clusters():
+def test_union_find_oracle_clusters():
     df = dup_corpus()
-    lookup = dict(zip(df["doc_id"], df["text"]))
-    out = minhash_lsh_clusters(
-        ray.data.from_pandas(df), threshold=0.5, text_lookup=lookup
-    )
+    out = union_find_lsh_clusters(df, threshold=0.5)
     by_cluster = out.groupby("cluster_id")["doc_id"].apply(list)
     # the 3 exact dup groups (+ near dups) each collapse into one cluster
     big = [c for c in by_cluster if len(c) >= 3]
@@ -345,10 +342,7 @@ def test_lsh_distributed_matches_union_find():
     from tinyetl_ray.functions.dedup import lsh_clusters_distributed
 
     df = dup_corpus()
-    lookup = dict(zip(df["doc_id"], df["text"]))
-    uf = minhash_lsh_clusters(
-        ray.data.from_pandas(df), threshold=0.0, verify=False, text_lookup=lookup
-    )
+    uf = union_find_lsh_clusters(df, verify=False)
     dist = lsh_clusters_distributed(ray.data.from_pandas(df)).to_pandas()
     # same partition of doc_ids into clusters (labels may differ, grouping not)
     def groups(frame, col):
@@ -407,10 +401,7 @@ def test_lsh_distributed_verified_matches_union_find_verified():
     from tinyetl_ray.functions.dedup import lsh_clusters_distributed
 
     df = dup_corpus()
-    lookup = dict(zip(df["doc_id"], df["text"]))
-    uf = minhash_lsh_clusters(
-        ray.data.from_pandas(df), threshold=0.5, verify=True, text_lookup=lookup
-    )
+    uf = union_find_lsh_clusters(df, threshold=0.5, verify=True)
     dist = lsh_clusters_distributed(
         ray.data.from_pandas(df), verify_threshold=0.5
     ).to_pandas()
@@ -456,6 +447,40 @@ def test_rp_lsh_production_regime():
     assert {tuple(sorted(p)) for p in zip(hits["id_a"], hits["id_b"])} >= {
         tuple(sorted(p)) for p in planted
     }
+
+
+def test_lsh_bucketed_no_broadcast_paths(monkeypatch):
+    """Force BROADCAST_PAIR_LIMIT to 0 so every candidate set counts as
+    'too large to broadcast': the broadcast-free bucketed paths (in-bucket
+    semi-join prune drop, distributed label init, bucketed untouched
+    anti-join) must produce identical clusters and pair lists — i.e. the
+    scale path never needs the driver-side id gather."""
+    import tinyetl_ray.functions.dedup as dd
+
+    df = dup_corpus()
+    base_clusters = dd.lsh_clusters_distributed(
+        ray.data.from_pandas(df), verify_threshold=0.5
+    ).to_pandas()
+    base_pairs = dd.ngram_jaccard_pairs(
+        ray.data.from_pandas(df), threshold=0.5
+    ).to_pandas()
+
+    monkeypatch.setattr(dd, "BROADCAST_PAIR_LIMIT", 0)
+    got_clusters = dd.lsh_clusters_distributed(
+        ray.data.from_pandas(df), verify_threshold=0.5
+    ).to_pandas()
+    got_pairs = dd.ngram_jaccard_pairs(
+        ray.data.from_pandas(df), threshold=0.5
+    ).to_pandas()
+
+    def groups(f):
+        return sorted(tuple(sorted(g)) for _, g in f.groupby("cluster_id")["doc_id"])
+
+    def pairset(f):
+        return sorted(map(tuple, f[["a", "b"]].to_numpy()))
+
+    assert groups(got_clusters) == groups(base_clusters)
+    assert pairset(got_pairs) == pairset(base_pairs)
 
 
 def test_dedup_cluster_task_retry(tmp_path):

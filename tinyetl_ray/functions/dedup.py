@@ -343,6 +343,94 @@ def _semi_join_ids(
     return ds.map_batches(Prune, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
 
 
+def _touched_label_rows(cand: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct (doc_id, label=doc_id) rows for every id appearing in the
+    candidate pair list, computed DISTRIBUTED (one slim-int groupby) — the
+    broadcast-free label init for candidate sets too large for
+    _candidate_ids' driver gather."""
+    from ray.data.aggregate import Min
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = pc.cast(t.column("a"), pa.int64()).to_numpy()
+        b = pc.cast(t.column("b"), pa.int64()).to_numpy()
+        ids = np.concatenate([a, b])
+        return pa.table({"doc_id": pa.array(ids), "label": pa.array(ids)})
+
+    return (
+        cand.map_batches(explode, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Min("label", alias_name="label"))
+    )
+
+
+def _anti_join_ids_bucketed(
+    ids_ds: ray.data.Dataset, cand: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """(doc_id, cluster_id=doc_id) rows for ids NOT appearing in any
+    candidate pair — the broadcast-free anti-join: both sides route on
+    id % P (a slim int-only shuffle) and each hash bucket resolves its
+    members locally with one searchsorted. No driver-side id gather."""
+    P = _shuffle_blocks() * 4
+
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[id_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "key": k,
+                "_part": (k.astype(np.uint64) % np.uint64(P)).astype(np.int32),
+                "is_doc": True,
+            }
+        )
+
+    def cand_rows(t: pa.Table) -> pd.DataFrame:
+        a = pc.cast(t.column("a"), pa.int64()).to_numpy()
+        b = pc.cast(t.column("b"), pa.int64()).to_numpy()
+        k = np.concatenate([a, b])
+        return pd.DataFrame(
+            {
+                "key": k,
+                "_part": (k.astype(np.uint64) % np.uint64(P)).astype(np.int32),
+                "is_doc": False,
+            }
+        )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g.loc[g["is_doc"], "key"].to_numpy(np.int64)
+        cands = np.unique(g.loc[~g["is_doc"], "key"].to_numpy(np.int64))
+        if len(cands) and len(docs):
+            idx = np.clip(np.searchsorted(cands, docs), 0, len(cands) - 1)
+            keep = cands[idx] != docs
+        else:
+            keep = np.ones(len(docs), dtype=bool)
+        kept = docs[keep]
+        return pd.DataFrame({"doc_id": kept, "cluster_id": kept})
+
+    return (
+        ids_ds.map_batches(doc_rows, batch_format="pandas")
+        .union(cand.map_batches(cand_rows, batch_format="pyarrow"))
+        .groupby("_part")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+# Above this many candidate PAIRS the sorted-id broadcast (≤ 2·|pairs|
+# int64s via ray.put) stops being "small": at 10^10-doc scale a degenerate
+# threshold can make the candidate set corpus-sized, and an O(corpus)
+# driver gather + per-actor copy is exactly the anti-pattern the broadcast
+# exists to avoid. Past the limit the prune is skipped entirely — the
+# id%P co-partitioned join performs the same semi-join INSIDE each hash
+# bucket (non-candidate rows are dropped at the first map_groups), so no
+# driver-side id materialization ever happens on the scale path.
+BROADCAST_PAIR_LIMIT = 2_000_000
+
+
+def _broadcast_prune_ok(pairs: ray.data.Dataset) -> bool:
+    """True when the candidate-pair id set is small enough to broadcast.
+    ``pairs`` is materialized by every caller, so count() is a metadata
+    lookup, not an execution."""
+    return pairs.count() <= BROADCAST_PAIR_LIMIT
+
+
 def verify_jaccard_pairs(
     pairs: ray.data.Dataset, docs: ray.data.Dataset, shingle_k: int = 5
 ) -> ray.data.Dataset:
@@ -357,15 +445,15 @@ def verify_jaccard_pairs(
       2. key = (a, b): the two sides meet → |A∩B| / |A∪B| via sorted-array
          intersection. Duplicate candidates (same pair from several LSH
          bands) collapse here: first row per side wins.
-    Shuffles move only (ints + gram-hash lists of CANDIDATE docs): the doc
-    side is semi-join pruned first with a broadcast candidate-id set
-    (ray.put once — slim int64s, ≤ 2·|pairs|, ≪ corpus) so non-candidate
-    documents never compute or ship their gram lists. For candidate sets
-    too large to broadcast, drop the prune (correct either way) or bucket
-    the ids."""
+    Shuffles move only (ints + gram-hash lists of CANDIDATE docs). For
+    small candidate sets the doc side is semi-join pruned first with a
+    broadcast sorted-id set (ray.put once) so non-candidate documents never
+    compute or ship their gram lists; past BROADCAST_PAIR_LIMIT the
+    broadcast is skipped and join (1) itself drops non-candidate gram rows
+    in-bucket — correct either way, never a driver-side id gather at scale."""
     P = _shuffle_blocks() * 4
-    cand_ids = _candidate_id_set(pairs)
-    docs = _semi_join_ids(docs, cand_ids, "doc_id")
+    if _broadcast_prune_ok(pairs):
+        docs = _semi_join_ids(docs, _candidate_id_set(pairs), "doc_id")
     grams = docs.map_batches(GramSigs(shingle_k), batch_format="pyarrow")
 
     def side_rows(t: pa.Table) -> pa.Table:
@@ -589,76 +677,6 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_lsh_clusters(
-    ds: ray.data.Dataset,
-    num_perm: int = 128,
-    bands: int = 32,
-    shingle_k: int = 5,
-    threshold: float = 0.7,
-    verify: bool = True,
-    text_lookup: dict | None = None,
-) -> pd.DataFrame:
-    """MinHash→LSH candidate pairs → (optionally) Jaccard-verified →
-    connected components via union-find over the candidate edge list.
-
-    Returns a pandas DataFrame (doc_id, cluster_id). The edge list after
-    banding is tiny relative to the corpus (only same-bucket pairs), so the
-    driver-side union-find is safe — documented assumption: candidate pairs
-    ≪ corpus size; for adversarial corpora switch to the iterative min-label
-    groupby propagation (same building blocks, no driver state).
-    """
-    rows_per_band = num_perm // bands
-    sigs = ds.map_batches(
-        MinHasher, batch_format="pandas",
-        fn_constructor_kwargs={"num_perm": num_perm, "shingle_k": shingle_k},
-        concurrency=(2, 8), num_cpus=0.5,
-    )
-    banded = sigs.map_batches(
-        lambda df: _band_rows(df, bands, rows_per_band), batch_format="pandas"
-    )
-
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        # pair every member with the bucket minimum — enough for connectivity
-        return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
-
-    edges = (
-        banded.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
-
-    if verify and text_lookup is not None and len(edges):
-        keep = [
-            jaccard(text_lookup[a], text_lookup[b], k=shingle_k) >= threshold
-            for a, b in zip(edges["a"], edges["b"])
-        ]
-        edges = edges[pd.Series(keep, index=edges.index)]
-
-    # union-find
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        parent.setdefault(x, x)
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in zip(edges["a"], edges["b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-
-    all_ids = ds.select_columns(["doc_id"]).to_pandas()["doc_id"]
-    return pd.DataFrame(
-        {"doc_id": all_ids, "cluster_id": [find(int(d)) for d in all_ids]}
-    )
-
-
 def lsh_clusters_distributed(
     ds: ray.data.Dataset,
     num_perm: int = 128,
@@ -694,8 +712,19 @@ def lsh_clusters_distributed(
     """
     from ray.data.aggregate import Min, Sum
 
+    # Star edges (member↔bucket-min) give connectivity only when they survive
+    # unfiltered: under verification a false-positive bucket min kills BOTH
+    # its star edges, disconnecting true near-dup pairs among the remaining
+    # members (round-2 advice: under-clustering the oracle can't catch since
+    # it re-clusters the engine's own edges). The verified path therefore
+    # generates full in-bucket pairs; the unverified path keeps the O(n)
+    # star shape.
     cand = lsh_candidate_pairs(
-        ds, num_perm=num_perm, bands=bands, shingle_k=shingle_k, star_only=True
+        ds,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        star_only=verify_threshold is None,
     ).materialize()  # consumed by verify AND mirrored below — never re-derive
     if verify_threshold is not None:
         verified = verify_jaccard_pairs(cand, ds, shingle_k=shingle_k)
@@ -725,11 +754,12 @@ def lsh_clusters_distributed(
     # Propagate over EDGE-TOUCHED nodes only: at corpus scale most documents
     # are in no candidate pair and trivially label themselves, so iterating
     # the full label table would shuffle the whole corpus per round for
-    # nothing. The touched-id list is the same slim broadcast bound as the
-    # verify prune (≤ 2·|edges|); untouched docs are appended at the end
-    # via a broadcast anti-join.
-    touched = _candidate_ids(cand)
-    if len(touched) == 0:  # no candidates at all: every doc is its own cluster
+    # nothing. Small candidate sets broadcast the sorted touched-id array
+    # (≤ 2·|edges| int64s); past BROADCAST_PAIR_LIMIT both the label init
+    # and the final untouched anti-join run as id%P-bucketed slim-int
+    # shuffles with no driver-side id gather (the 10^10-doc shape).
+    n_pairs = cand.count()
+    if n_pairs == 0:  # no candidates at all: every doc is its own cluster
         return ds.select_columns(["doc_id"]).map_batches(
             lambda df: pd.DataFrame(
                 {
@@ -739,10 +769,17 @@ def lsh_clusters_distributed(
             ),
             batch_format="pandas",
         )
-    touched_ref = ray.put(touched)
-    labels = ray.data.from_arrow(
-        pa.table({"doc_id": pa.array(touched), "label": pa.array(touched)})
-    ).repartition(max(1, min(_shuffle_blocks(), len(touched) // 10_000 + 1)))
+    broadcast_ok = n_pairs <= BROADCAST_PAIR_LIMIT
+    if broadcast_ok:
+        touched = _candidate_ids(cand)
+        touched_ref = ray.put(touched)
+        labels = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array(touched), "label": pa.array(touched)})
+        ).repartition(max(1, min(_shuffle_blocks(), len(touched) // 10_000 + 1)))
+    else:
+        labels = _touched_label_rows(cand).repartition(
+            max(1, min(_shuffle_blocks(), 2 * n_pairs // 10_000 + 1))
+        )
 
     P = _shuffle_blocks() * 4
 
@@ -818,18 +855,22 @@ def lsh_clusters_distributed(
         lambda df: df.rename(columns={"label": "cluster_id"}), batch_format="pandas"
     )
     # untouched docs (no candidate edge) label themselves — broadcast
-    # anti-join, no shuffle
-    untouched = _semi_join_ids(
-        ds.select_columns(["doc_id"]), touched_ref, "doc_id", invert=True
-    ).map_batches(
-        lambda df: pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].astype(np.int64),
-                "cluster_id": df["doc_id"].astype(np.int64),
-            }
-        ),
-        batch_format="pandas",
-    )
+    # anti-join (no shuffle) when the id set is small, else the bucketed
+    # anti-join (slim int-only shuffle, no driver gather)
+    if broadcast_ok:
+        untouched = _semi_join_ids(
+            ds.select_columns(["doc_id"]), touched_ref, "doc_id", invert=True
+        ).map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].astype(np.int64),
+                    "cluster_id": df["doc_id"].astype(np.int64),
+                }
+            ),
+            batch_format="pandas",
+        )
+    else:
+        untouched = _anti_join_ids_bucketed(ds.select_columns(["doc_id"]), cand)
     return clustered.union(untouched)
 
 
@@ -1066,12 +1107,13 @@ def verify_cosine_pairs(
 ) -> ray.data.Dataset:
     """Exact cosine for candidate pairs, fully distributed: the same
     two-stage co-partitioned vectorized join as verify_jaccard_pairs, with
-    the same broadcast semi-join prune so only CANDIDATE vectors enter the
-    shuffle; the fixed vector dimension makes the final per-pair dot
-    product ONE einsum over the whole partition."""
+    the same size-gated broadcast semi-join prune (skipped past
+    BROADCAST_PAIR_LIMIT — the in-bucket join then drops non-candidate
+    vectors itself, no driver id gather); the fixed vector dimension makes
+    the final per-pair dot product ONE einsum over the whole partition."""
     P = _shuffle_blocks() * 4
-    cand_ids = _candidate_id_set(pairs)
-    ds = _semi_join_ids(ds, cand_ids, id_col)
+    if _broadcast_prune_ok(pairs):
+        ds = _semi_join_ids(ds, _candidate_id_set(pairs), id_col)
 
     def side_rows(t: pa.Table) -> pa.Table:
         a = pc.cast(t.column("a"), pa.int64()).to_numpy()

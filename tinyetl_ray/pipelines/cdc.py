@@ -243,7 +243,14 @@ def read_conversation(table_root: str, conv_id: str) -> pa.Table:
     per-partition ``max_turn_idx`` bounds the turn space, so candidate
     partitions are {route(conv, tb) for tb ≤ max_turn // turn_block} — a
     handful of files regardless of table size (the conv-level analog of
-    read_turn's single-file point lookup)."""
+    read_turn's single-file point lookup).
+
+    Manifests written before ``max_turn_idx`` existed (or carried forward
+    unchanged through incremental epochs) lack the field; any such non-empty
+    partition makes the turn bound unknowable, so the prune degrades to a
+    scan of every non-empty partition rather than silently dropping
+    high-turn rows (round-2 advice: defaulting the bound to -1 returned an
+    empty conversation for fully-legacy tables)."""
     from ..stages.partition import partition_ids
 
     commit = mf.latest_commit(table_root)
@@ -251,20 +258,22 @@ def read_conversation(table_root: str, conv_id: str) -> pa.Table:
         raise FileNotFoundError(f"no committed epoch under {table_root}")
     P = commit.get("num_partitions", len(commit["partitions"]))
     tb = commit.get("turn_block", DEFAULT_TURN_BLOCK)
-    max_turn = max(
-        (m.get("max_turn_idx", -1) for m in commit["partitions"]), default=-1
-    )
-    if max_turn < 0:
-        return transcript_schema_of(CHANGE_SCHEMA).empty_table()
-    blocks = np.arange(0, max_turn // tb + 1, dtype=np.int32)
-    pids = set(
-        partition_ids(
-            pa.array([conv_id] * len(blocks)),
-            pa.array(blocks * tb, pa.int32()),  # representative turn per block
-            P,
-            tb,
-        ).tolist()
-    )
+    live = [m for m in commit["partitions"] if m["rows"] > 0]
+    if any("max_turn_idx" not in m for m in live):
+        pids = {m["partition"] for m in live}  # legacy manifests: no prune
+    else:
+        max_turn = max((m["max_turn_idx"] for m in live), default=-1)
+        if max_turn < 0:
+            return transcript_schema_of(CHANGE_SCHEMA).empty_table()
+        blocks = np.arange(0, max_turn // tb + 1, dtype=np.int32)
+        pids = set(
+            partition_ids(
+                pa.array([conv_id] * len(blocks)),
+                pa.array(blocks * tb, pa.int32()),  # representative turn per block
+                P,
+                tb,
+            ).tolist()
+        )
     tables = []
     for m in commit["partitions"]:
         if m["partition"] in pids and m["rows"] > 0:
