@@ -152,7 +152,7 @@ class _LoopbackHandler:
                     self.send_response(401)
                     self.end_headers()
                     return
-                if self.path.endswith(".csv"):
+                if self.path.endswith(".csv") or self.path == "/data":
                     body = b"id,name\n1,ada\n2,grace\n"
                     self.send_response(200)
                     self.send_header("Content-Type", "text/csv")
@@ -238,6 +238,33 @@ def test_generate_default_config(capsys):
     assert main(["generate-default-config"]) == 0
     out = capsys.readouterr().out
     assert "version: 1" in out and "source:" in out and "auth.bearer" in out
+
+
+def test_source_type_override_extensionless_http(tmp_path, loopback_http):
+    """--source-type forces the connector for an extensionless HTTP endpoint
+    (cli.rs:63 / http.rs:33,93): /data has no extension, so dispatch must
+    come from the override, not the URL."""
+    base, records = loopback_http
+    out = str(tmp_path / "out_pq")
+    assert (
+        main(
+            ["transfer", f"{base}/data", out, "--source-type", "csv",
+             "--target-format", "parquet"]
+        )
+        == 0
+    )
+    got = pq.read_table(out).to_pandas()
+    assert sorted(got["name"].tolist()) == ["ada", "grace"]
+    # without the override, the extensionless endpoint is rejected clearly
+    with pytest.raises(ValueError, match="unsupported source extension"):
+        main(["transfer", f"{base}/data", out, "--target-format", "parquet"])
+    # local extensionless file works through the same override
+    p = tmp_path / "noext"
+    p.write_text("id,name\n7,tuck\n")
+    out2 = str(tmp_path / "out2")
+    assert main(["transfer", str(p), out2, "--source-type", "csv",
+                 "--target-format", "parquet"]) == 0
+    assert pq.read_table(out2).to_pandas()["name"].tolist() == ["tuck"]
 
 
 def test_yaml_job_with_http_options(tmp_path, loopback_http):

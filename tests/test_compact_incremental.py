@@ -347,13 +347,36 @@ def test_tail_watch_dir(tmp_path):
     applied = cdc.tail(
         root, str(watch), num_partitions=8, poll_secs=0.05, max_idle_polls=2
     )
-    assert [c["last_change_epoch"] for c in applied] == [0, 1]
+    # both pending files batch into ONE change epoch (one commit round trip)
+    assert [c["last_change_epoch"] for c in applied] == [0]
     # a third file lands; a RESTARTED tailer applies only it
     os.link(files[2][0], watch / "0002.parquet")
     applied2 = cdc.tail(
         root, str(watch), num_partitions=8, poll_secs=0.05, max_idle_polls=2
     )
-    assert [c["last_change_epoch"] for c in applied2] == [2]
+    assert [c["last_change_epoch"] for c in applied2] == [1]
+    got = cdc.read_table(root).to_pandas()
+    assert_frames_equal(got, sequential_lww(pa.concat_tables(epochs)))
+
+
+def test_tail_batches_pending_files_into_one_commit(tmp_path):
+    """A burst of 5 pending shipper files produces ONE commit (one manifest
+    round trip), with per-file fingerprints still tracked in TAIL_STATE."""
+    import json
+
+    epochs, files = _write_epochs(tmp_path, n_epochs=5)
+    watch = tmp_path / "incoming"
+    os.makedirs(watch)
+    root = str(tmp_path / "t")
+    for i in range(5):
+        os.link(files[i][0], watch / f"{i:04d}.parquet")
+    applied = cdc.tail(
+        root, str(watch), num_partitions=4, poll_secs=0.01, max_idle_polls=2
+    )
+    assert len(applied) == 1
+    with open(os.path.join(root, "_commits", "TAIL_STATE")) as f:
+        state = json.load(f)["applied"]
+    assert len(state) == 5  # fingerprints per file, not per batch
     got = cdc.read_table(root).to_pandas()
     assert_frames_equal(got, sequential_lww(pa.concat_tables(epochs)))
 
@@ -477,6 +500,47 @@ def test_read_conversation_pruned(tmp_path):
     assert max_turn < 64  # fixture turns < turn_block → 1 block → 1 file read
 
 
+def test_spill_safe_merge_matches_in_memory(tmp_path):
+    """Partitions larger than the spill threshold stream through the external
+    sorted-run merge (one chunk + the epoch delta in memory). Final state,
+    per-partition row counts and idempotent re-apply must match the
+    in-memory concat+sort path exactly."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=3, n_events=6000)
+    mem_root, spill_root = str(tmp_path / "mem"), str(tmp_path / "spill")
+    cdc.replay_commit(mem_root, files, num_partitions=4)
+    # threshold 50 rows with 64-row chunks: every non-trivial partition takes
+    # the streaming path with many chunks
+    cdc.replay_commit(
+        spill_root,
+        files,
+        num_partitions=4,
+        spill_merge_rows=50,
+        spill_merge_chunk_rows=64,
+    )
+    mem = cdc.read_table(mem_root).to_pandas()
+    spill = cdc.read_table(spill_root).to_pandas()
+    assert_frames_equal(spill, mem[spill.columns])
+    # snapshots row-identical per partition (tombstones included)
+    cm, cs = mf.latest_commit(mem_root), mf.latest_commit(spill_root)
+    rows_m = {m["partition"]: m["rows"] for m in cm["partitions"]}
+    rows_s = {m["partition"]: m["rows"] for m in cs["partitions"]}
+    assert rows_m == rows_s
+    assert {m["partition"]: m["tombstones"] for m in cm["partitions"]} == {
+        m["partition"]: m["tombstones"] for m in cs["partitions"]
+    }
+    # idempotent no-op re-apply on the spill path too
+    assert (
+        cdc.replay_commit(
+            spill_root,
+            files,
+            num_partitions=4,
+            spill_merge_rows=50,
+            spill_merge_chunk_rows=64,
+        )
+        == []
+    )
+
+
 def test_read_conversation_legacy_manifest(tmp_path):
     """Manifests written before max_turn_idx existed must not make lookups
     return empty/partial conversations: with the field missing, the prune
@@ -534,7 +598,7 @@ def test_tail_with_schema_evolution(tmp_path):
     pq.write_table(e1, watch / "0001.parquet")
     root = str(tmp_path / "t")
     applied = cdc.tail(root, str(watch), num_partitions=4, poll_secs=0.01, max_idle_polls=2)
-    assert len(applied) == 2
+    assert len(applied) == 1  # both pending files batch into one epoch
     got = cdc.read_table(root).to_pandas()
     assert "model" in got.columns
     df1 = e1.to_pandas()

@@ -170,10 +170,14 @@ def build_pipeline(args) -> "ray.data.Dataset":  # noqa: F821
     # protocol resolution: secrets, file:// strip, http(s) download-to-temp
     # with header./auth.* options (reference src/protocols/http.rs:30-160)
     source = resolve_source(args.source, _parse_options(getattr(args, "options", None)))
-    if source.endswith(".csv") and args.sniff_types:
+    # --source-type forces the connector (cli.rs:63 / http.rs:33,93): an
+    # extensionless HTTP endpoint like /data can be read as CSV
+    stype = getattr(args, "source_type", None)
+    is_csv = stype == "csv" if stype else source.endswith(".csv")
+    if is_csv and args.sniff_types:
         ds = sniffed_read_csv(source)
     else:
-        ds = read_any(source)
+        ds = read_any(source, fmt=stype)
     if args.schema_file:
         specs = load_schema_file(args.schema_file)
         ds = ds.map_batches(
@@ -238,7 +242,7 @@ def cmd_run(args) -> int:
         opts += [f"{k}={v}" for k, v in cfg["options"].items()]
     if isinstance(cfg.get("source"), dict):
         opts += [
-            f"{k}={v}" for k, v in cfg["source"].items() if k != "uri"
+            f"{k}={v}" for k, v in cfg["source"].items() if k not in ("uri", "type")
         ]
     ns = argparse.Namespace(
         source=cfg["source"]["uri"] if isinstance(cfg.get("source"), dict) else cfg["source"],
@@ -253,6 +257,12 @@ def cmd_run(args) -> int:
         drop_invalid=cfg.get("drop_invalid", False),
         sniff_types=cfg.get("sniff_types", False),
         target_format=cfg.get("target_format"),
+        source_type=cfg.get("source_type")
+        or (
+            cfg["source"].get("type")
+            if isinstance(cfg.get("source"), dict)
+            else None
+        ),
     )
     return cmd_transfer(ns)
 
@@ -389,6 +399,12 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--drop-invalid", action="store_true", dest="drop_invalid")
     t.add_argument("--sniff-types", action="store_true", dest="sniff_types")
     t.add_argument("--target-format", dest="target_format")
+    t.add_argument(
+        "--source-type",
+        dest="source_type",
+        help="force the source connector (csv/json/jsonl/parquet/avro/...) "
+        "for extensionless or mis-named URLs/paths",
+    )
     t.add_argument(
         "--option",
         action="append",

@@ -325,7 +325,14 @@ def _semi_join_ids(
 ) -> ray.data.Dataset:
     """Keep only rows whose ``id_col`` is in the broadcast sorted id array
     (``invert=True`` → anti-join: keep rows NOT in it) — vectorized
-    searchsorted probe per batch, no shuffle."""
+    searchsorted probe per batch, no shuffle.
+
+    The ray.put ref is deliberately kept for this MB-scale broadcast (plasma
+    shares one copy per node; plain kwargs would copy per actor). Restart
+    hazard (ray#53727) is bounded: the driver owns the primary copy for the
+    query's lifetime, so a restarted actor can always re-fetch unless the
+    driver itself died — which ends the job anyway. KB-scale broadcasts use
+    plain constructor kwargs instead (see functions/simsearch.py)."""
 
     class Prune:
         def __init__(self):

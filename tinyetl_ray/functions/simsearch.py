@@ -1,8 +1,10 @@
 """Similarity search over an embedding column (list<float>).
 
-Baseline: brute-force cosine top-k — the query matrix is broadcast ONCE with
-ray.put, every batch does one float64 matmul, emits per-batch local top-k,
-and a final tiny groupby takes the global top-k. Compute O(n·q), shuffle
+Baseline: brute-force cosine top-k — the query matrix ships ONCE per actor
+as plain constructor kwargs (KB-sized, inlined into the restart-safe actor
+creation spec — ray#53727 made captured ray.put refs a restart hazard),
+every batch does one float64 matmul, emits per-batch local top-k, and a
+final tiny groupby takes the global top-k. Compute O(n·q), shuffle
 O(batches·q·k) — the shuffle never moves embeddings.
 
 Scale path: IVF — a seeded k-means (driver-side on a bounded sample, few
@@ -43,11 +45,13 @@ def topk_cosine(
     """Exact top-k by cosine for each query row. Output: (query_id, vec_id,
     sim) — sim rounded to 6 decimals; global rank ties broken by vec_id."""
     q = _normalize(np.asarray(query_mat, dtype=np.float64))
-    ref = ray.put((np.asarray(query_ids), q))
 
     class LocalTopK:
-        def __init__(self):
-            self.qids, self.q = ray.get(ref)  # once per actor
+        # query state rides fn_constructor_kwargs as PLAIN values: KB-sized,
+        # inlined into the actor creation spec, so a restarted actor can
+        # always reconstruct (no driver-put ObjectRef to lose — ray#53727)
+        def __init__(self, qids: np.ndarray, q: np.ndarray):
+            self.qids, self.q = qids, q  # once per actor
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t.column(id_col).to_numpy()
@@ -69,7 +73,13 @@ def topk_cosine(
                 }
             )
 
-    local = ds.map_batches(LocalTopK, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
+    local = ds.map_batches(
+        LocalTopK,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"qids": np.asarray(query_ids), "q": q},
+        concurrency=(2, 8),
+        num_cpus=0.5,
+    )
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", id_col], ascending=[False, True], kind="mergesort")
@@ -129,12 +139,11 @@ def ivf_write(
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    cent = _normalize(np.asarray(centroids, dtype=np.float64))
-    ref = ray.put(cent)
+    cent_arr = _normalize(np.asarray(centroids, dtype=np.float64))
 
     class AssignBucket:
-        def __init__(self):
-            self.cent = ray.get(ref)
+        def __init__(self, cent: np.ndarray):
+            self.cent = cent  # plain kwarg: inlined, restart-safe
 
         def __call__(self, t: pa.Table) -> pa.Table:
             vecs = _normalize(_emb_matrix(t, emb_col))
@@ -145,9 +154,13 @@ def ivf_write(
             return t.append_column("bucket_id", pa.array(buckets, pa.int32()))
 
     ds.map_batches(
-        AssignBucket, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5
+        AssignBucket,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"cent": cent_arr},
+        concurrency=(2, 8),
+        num_cpus=0.5,
     ).write_parquet(out_dir, partition_cols=["bucket"])
-    return len(cent)
+    return len(cent_arr)
 
 
 def ivf_topk_store(
@@ -188,11 +201,11 @@ def ivf_topk_store(
             )
         )
     ds = ray.data.read_parquet(dirs)
-    ref = ray.put((np.asarray(query_ids), q, cent, probe))
 
     class ProbeTopK:
-        def __init__(self):
-            self.qids, self.q, self.cent, self.probe = ray.get(ref)
+        def __init__(self, qids, q, cent, probe):
+            # plain kwargs: inlined into the actor spec, restart-safe
+            self.qids, self.q, self.cent, self.probe = qids, q, cent, probe
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t.column(id_col).to_numpy()
@@ -217,7 +230,15 @@ def ivf_topk_store(
                 }
             )
 
-    local = ds.map_batches(ProbeTopK, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
+    local = ds.map_batches(
+        ProbeTopK,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={
+            "qids": np.asarray(query_ids), "q": q, "cent": cent, "probe": probe
+        },
+        concurrency=(2, 8),
+        num_cpus=0.5,
+    )
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", id_col], ascending=[False, True], kind="mergesort")
@@ -245,11 +266,11 @@ def ivf_topk(
     """
     q = _normalize(np.asarray(query_mat, dtype=np.float64))
     probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    ref = ray.put((np.asarray(query_ids), q, _normalize(centroids), probe))
 
     class IVFTopK:
-        def __init__(self):
-            self.qids, self.q, self.cent, self.probe = ray.get(ref)
+        def __init__(self, qids, q, cent, probe):
+            # plain kwargs: inlined into the actor spec, restart-safe
+            self.qids, self.q, self.cent, self.probe = qids, q, cent, probe
 
         def __call__(self, t: pa.Table) -> pa.Table:
             ids = t.column(id_col).to_numpy()
@@ -274,7 +295,18 @@ def ivf_topk(
                 }
             )
 
-    local = ds.map_batches(IVFTopK, batch_format="pyarrow", concurrency=(2, 8), num_cpus=0.5)
+    local = ds.map_batches(
+        IVFTopK,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={
+            "qids": np.asarray(query_ids),
+            "q": q,
+            "cent": _normalize(centroids),
+            "probe": probe,
+        },
+        concurrency=(2, 8),
+        num_cpus=0.5,
+    )
 
     def global_topk(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sim", id_col], ascending=[False, True], kind="mergesort")

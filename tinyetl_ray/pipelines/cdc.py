@@ -45,6 +45,56 @@ from ..state import manifest as mf
 
 BASE_LSN = -1  # base-table rows replay as upserts that any real event beats on lsn
 
+# A merge task whose PRIOR SNAPSHOT exceeds this many rows switches from the
+# in-memory concat+sort to the external sorted-run merge (snapshots are
+# key-sorted with unique keys, so prior ⋈ delta is a streaming merge-join of
+# two sorted inputs — peak memory = one chunk + the epoch delta, never the
+# whole partition). The in-memory path stays the default: it is faster and
+# the documented P-sizing rule keeps partitions inside a worker's heap; this
+# is the guard rail for skewed giant partitions at 10^10 scale.
+SPILL_MERGE_ROWS = int(os.environ.get("TINYETL_SPILL_MERGE_ROWS", "4000000"))
+SPILL_MERGE_CHUNK_ROWS = 1 << 18
+
+
+def _sorted_run_merge_chunks(prior_path, delta, schema, chunk_rows):
+    """Yield key-sorted merged chunks of (prior snapshot ⋈ epoch delta).
+
+    The prior snapshot is key-sorted with UNIQUE keys (finalize_payload), so
+    chunk key ranges are disjoint and increasing. The delta — small after the
+    PreReduce combiner — is LWW-reduced in memory once; each snapshot chunk
+    is then unioned with its key-range slice of the delta and locally
+    reduced. Associativity of LWW makes this bit-identical to the in-memory
+    concat+sort of the whole partition."""
+    import bisect
+
+    from ..stages.merge import finalize_payload, lww_reduce
+
+    d = finalize_payload(
+        lww_reduce(align_to(delta, schema), keep_deletes=True), drop_cols=()
+    )
+    dkeys = list(
+        zip(d.column("conv_id").to_pylist(), d.column("turn_idx").to_pylist())
+    )
+    lo = 0
+    pf = pq.ParquetFile(prior_path)
+    for rb in pf.iter_batches(batch_size=chunk_rows):
+        chunk = align_to(pa.Table.from_batches([rb]), schema)
+        if len(chunk) == 0:
+            continue
+        last_key = (
+            chunk.column("conv_id")[-1].as_py(),
+            chunk.column("turn_idx")[-1].as_py(),
+        )
+        hi = bisect.bisect_right(dkeys, last_key, lo=lo)
+        if hi > lo:
+            union = pa.concat_tables([chunk, d.slice(lo, hi - lo)])
+            lo = hi
+            yield finalize_payload(lww_reduce(union, keep_deletes=True), drop_cols=())
+        else:
+            yield chunk  # untouched key range: already reduced and sorted
+    if lo < len(d):
+        yield d.slice(lo)  # delta keys beyond the prior's max key
+
 
 def default_shuffle_blocks() -> int:
     """Map-side block count feeding the groupby shuffle.
@@ -331,8 +381,14 @@ def replay_commit(
     on_error: str = "raise",
     quarantine_dir: str | None = None,
     first_change_epoch: int = 0,
+    spill_merge_rows: int | None = None,
+    spill_merge_chunk_rows: int | None = None,
 ) -> list[dict[str, Any]]:
     """Apply change epochs to the committed table at ``table_root``.
+
+    ``spill_merge_rows`` / ``spill_merge_chunk_rows`` override the
+    SPILL_MERGE_* defaults (prior-snapshot row count above which a merge
+    task streams instead of concat+sort — see _sorted_run_merge_chunks).
 
     ``first_change_epoch``: global change-epoch index of ``epoch_files[0]``
     — lets incremental callers (the tail loop) submit only NEW epochs
@@ -374,6 +430,10 @@ def replay_commit(
     worker. P is pinned at table creation; re-partitioning = compact into a
     new table root with a different P.
     """
+    smr = SPILL_MERGE_ROWS if spill_merge_rows is None else spill_merge_rows
+    smc = (
+        SPILL_MERGE_CHUNK_ROWS if spill_merge_chunk_rows is None else spill_merge_chunk_rows
+    )
     commits: list[dict[str, Any]] = []
     for change_epoch, files in enumerate(epoch_files, start=first_change_epoch):
         prev = mf.latest_commit(table_root)
@@ -405,11 +465,11 @@ def replay_commit(
                 )
         schema = file_union_schema(files, extra)
         wm = mf.partition_watermarks(prev)
-        # pid → prior snapshot path, resolved driver-side (tiny), read inside
-        # each merge task
-        prior_snapshots: dict[int, str] = (
+        # pid → (prior snapshot path, rows), resolved driver-side (tiny),
+        # read inside each merge task; rows gate the spill-safe merge
+        prior_snapshots: dict[int, tuple[str, int]] = (
             {
-                m["partition"]: os.path.join(table_root, m["file"])
+                m["partition"]: (os.path.join(table_root, m["file"]), m["rows"])
                 for m in prev["partitions"]
                 if m["rows"] > 0
             }
@@ -456,8 +516,10 @@ def replay_commit(
             group: pa.Table,
             root: str = table_root,
             ep: int = commit_ep,
-            priors: dict[int, str] = prior_snapshots,
+            priors: dict[int, tuple[str, int]] = prior_snapshots,
             sch: pa.Schema = schema,
+            _smr: int = smr,
+            _smc: int = smc,
         ) -> pa.Table:
             pid = int(group.column(PARTITION_COL)[0].as_py())
             t = group.drop_columns([PARTITION_COL])
@@ -465,12 +527,24 @@ def replay_commit(
             n_deletes = pc.sum(
                 pc.cast(pc.equal(t.column("op"), "delete"), pa.int64())
             ).as_py() or 0
-            if pid in priors:
-                state = align_to(pq.read_table(priors[pid]), sch)
-                t = pa.concat_tables([t, state])
-            merged = lww_reduce(t, keep_deletes=True)
-            merged = finalize_payload(merged, drop_cols=())
-            man = mf.write_snapshot(root, pid, ep, merged)
+            prior = priors.get(pid)
+            if prior is not None and prior[1] > _smr:
+                # spill-safe path: external sorted-run merge, one chunk +
+                # the epoch delta in memory at a time
+                man = mf.write_snapshot_chunks(
+                    root,
+                    pid,
+                    ep,
+                    _sorted_run_merge_chunks(prior[0], t, sch, _smc),
+                    sch,
+                )
+            else:
+                if prior is not None:
+                    state = align_to(pq.read_table(prior[0]), sch)
+                    t = pa.concat_tables([t, state])
+                merged = lww_reduce(t, keep_deletes=True)
+                merged = finalize_payload(merged, drop_cols=())
+                man = mf.write_snapshot(root, pid, ep, merged)
             # per-epoch lineage metrics (not just snapshot totals)
             man["events_applied"] = int(n_events)
             man["delete_events"] = int(n_deletes)
@@ -698,19 +772,26 @@ def tail(
         ]
         if new:
             idle = 0
+            # ALL currently-unseen files apply as ONE change epoch (they are
+            # already lsn-ordered, and LWW merges an epoch's files together
+            # anyway): a burst of shipper files pays one commit + manifest
+            # round trip instead of one per file. Fingerprints stay
+            # per-file; a crash between commit and state save re-applies the
+            # whole batch — a no-op under LWW idempotence.
+            base_epoch = _last_change_epoch(mf.latest_commit(table_root)) + 1
+            batch = [os.path.join(watch_dir, f) for f in new]
+            commits = replay_commit(
+                table_root,
+                [batch],
+                num_partitions=num_partitions,
+                turn_block=turn_block,
+                on_error=on_error,
+                first_change_epoch=base_epoch,
+            )
+            applied.extend(commits)
             for f in new:
-                base_epoch = _last_change_epoch(mf.latest_commit(table_root)) + 1
-                commits = replay_commit(
-                    table_root,
-                    [[os.path.join(watch_dir, f)]],
-                    num_partitions=num_partitions,
-                    turn_block=turn_block,
-                    on_error=on_error,
-                    first_change_epoch=base_epoch,
-                )
-                applied.extend(commits)
                 seen[f] = fingerprint(os.path.join(watch_dir, f))
-                save_state(seen)
+            save_state(seen)
         else:
             idle += 1
             if max_idle_polls is not None and idle >= max_idle_polls:

@@ -530,29 +530,62 @@ def topk_per_group(sf_dir: str) -> ray.data.Dataset:
 
 
 def agg_quantiles(sf_dir: str) -> ray.data.Dataset:
-    """Exact distributed quantiles per group (Ray Data has no quantile
-    aggregate): groupby(status).map_groups + np.percentile with linear
-    interpolation — matches SQL quantile_cont. Per-group state = that
-    group's values only (fine while groups fit a worker; for giant groups
-    switch to a t-digest sketch combiner)."""
+    """EXACT distributed quantile_cont per group with NO per-group
+    full-vector task (round-2 verdict: the old map_groups held a whole
+    group's values in one task — a straggler/OOM on a skewed giant group).
+
+    o_totalprice is fixed-precision money, so the per-group state is a
+    MERGEABLE sparse histogram over integer cents: per-batch
+    (status, cents, n) partials, one groupby-sum over (status, cents), then
+    quantiles interpolated from each group's (value → count) histogram.
+    State is bounded by the PRICE DOMAIN (≤ range·100 non-empty bins —
+    ~5e7 worst case), not the group's row count: a 10^10-row group still
+    reduces to the same bins. Exactness (unlike a t-digest): every stored
+    double is nearest(2-dp decimal), so cents = round(v·100) → cents/100.0
+    round-trips bit-exactly and the rank interpolation below reproduces
+    np.percentile / SQL quantile_cont to the last bit (round 4 on both
+    sides absorbs nothing but is kept for parity with the oracle)."""
     import numpy as np
     import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        out = (
+            pd.DataFrame({"o_orderstatus": df["o_orderstatus"], "cents": cents})
+            .groupby(["o_orderstatus", "cents"], as_index=False)
+            .size()
+        )
+        return out.rename(columns={"size": "n"})
+
+    hist = (
+        _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["o_orderstatus", "cents"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
 
     def q(g: pd.DataFrame) -> pd.DataFrame:
-        v = g["o_totalprice"].to_numpy()
+        g = g.sort_values("cents")
+        vals = g["cents"].to_numpy(np.int64) / 100.0
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        n = cum[-1]
+
+        def qc(p: float) -> float:
+            h = (n - 1) * p  # 0-based fractional rank, like percentile linear
+            lo = vals[np.searchsorted(cum, int(np.floor(h)), side="right")]
+            hi = vals[np.searchsorted(cum, int(np.ceil(h)), side="right")]
+            return float(lo + (hi - lo) * (h - np.floor(h)))
+
         return pd.DataFrame(
             {
                 "o_orderstatus": [g["o_orderstatus"].iloc[0]],
-                "p50": [round(float(np.percentile(v, 50)), 4)],
-                "p95": [round(float(np.percentile(v, 95)), 4)],
+                "p50": [round(qc(0.5), 4)],
+                "p95": [round(qc(0.95), 4)],
             }
         )
 
-    return (
-        _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
-        .groupby("o_orderstatus")
-        .map_groups(q, batch_format="pandas")
-    )
+    return hist.groupby("o_orderstatus").map_groups(q, batch_format="pandas")
 
 
 def heavy_users(sf_dir: str) -> ray.data.Dataset:

@@ -65,12 +65,15 @@ def clean_read_parquet(path, **kwargs) -> ray.data.Dataset:
     )
 
 
-def read_any(path: str, **kwargs) -> ray.data.Dataset:
+def read_any(path: str, fmt: str | None = None, **kwargs) -> ray.data.Dataset:
     """Dispatch on extension like the reference's create_source
-    (src/connectors/mod.rs:67-101)."""
-    ext = os.path.splitext(path)[1].lower()
+    (src/connectors/mod.rs:67-101). ``fmt`` forces the connector regardless
+    of extension — the --source-type override (cli.rs:63, consumed at
+    http.rs:33,93) for extensionless or mis-named URLs/paths."""
+    ext = ("." + fmt.lstrip(".").lower()) if fmt else os.path.splitext(path)[1].lower()
     if ext not in _EXT_READERS:
-        raise ValueError(f"unsupported source extension {ext!r} for {path!r}")
+        what = f"source type {fmt!r}" if fmt else f"source extension {ext!r}"
+        raise ValueError(f"unsupported {what} for {path!r}")
     return _EXT_READERS[ext](path, **kwargs)
 
 
@@ -306,9 +309,22 @@ def sniffed_read_csv(paths: str | list[str], **kwargs) -> ray.data.Dataset:
 
     from pyarrow import csv as pacsv
 
-    first = paths[0] if isinstance(paths, list) else paths
-    with open(first) as f:
-        header = next(_csv.reader(f))
+    path_list = paths if isinstance(paths, list) else [paths]
+    headers = []
+    for p in path_list:
+        with open(p) as f:
+            headers.append(next(_csv.reader(f)))
+    header = headers[0]
+    # every part file must agree on the column SET (order may differ — the
+    # reference's row model is order-preserving per file): pinning types from
+    # only the first header would mis-type part files with extra/missing
+    # columns silently
+    for p, h in zip(path_list, headers):
+        if sorted(h) != sorted(header):
+            raise ValueError(
+                f"CSV part files disagree on columns: {path_list[0]} has "
+                f"{header} but {p} has {h}"
+            )
     convert = pacsv.ConvertOptions(column_types={h: pa.string() for h in header})
     ds = ray.data.read_csv(paths, convert_options=convert, **kwargs)
     mapping = sniff_column_types(ds, header)

@@ -43,12 +43,127 @@ def read_table(
     return ray.data.read_sql(query, connection_factory, **kwargs)
 
 
+_IDENT_RE = __import__("re").compile(r"^[A-Za-z_][A-Za-z0-9_.$]*$")
+
+
+def _check_ident(name: str) -> str:
+    """Table/column names are interpolated into SQL (DBAPI cannot bind
+    identifiers), so validate them against a strict identifier grammar
+    instead of trusting callers (round-2 advice)."""
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
+
+
+def _detect_paramstyle(conn) -> str:
+    """DBAPI paramstyle is a MODULE attribute; infer the module from the
+    connection object (sqlite3 → qmark, psycopg2/MySQLdb → format/pyformat)."""
+    import sys
+
+    mod = sys.modules.get(type(conn).__module__.split(".")[0])
+    return getattr(mod, "paramstyle", "qmark") if mod else "qmark"
+
+
+def _placeholder(style: str) -> str:
+    if style == "qmark":
+        return "?"
+    if style in ("format", "pyformat"):
+        return "%s"
+    raise ValueError(
+        f"unsupported DBAPI paramstyle {style!r} (qmark/format/pyformat only)"
+    )
+
+
+def _keyset_pages(
+    connection_factory: Callable,
+    table: str,
+    key_col: str,
+    sel: str,
+    batch_size: int,
+    lo,
+    hi,
+    spill: str,
+    shard: int,
+    paramstyle: str | None = None,
+) -> int:
+    """Page the ``(lo, hi]`` key range of ``table`` into parquet files under
+    ``spill`` (lo/hi None → unbounded). Runs either inline (single shard) or
+    as a Ray task — each shard opens its OWN connection and pages a disjoint
+    key range, so N workers ingest in parallel (the ray.data.read_sql
+    sharding pattern applied to keyset pagination). Returns pages written."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_pages = 0
+    with _closing(connection_factory()) as conn:
+        style = paramstyle or _detect_paramstyle(conn)
+        p = _placeholder(style)
+        cur = conn.cursor()
+
+        def write_page(rows, description) -> None:
+            nonlocal n_pages
+            if not rows:
+                return
+            names = [d[0] for d in description]
+            pq.write_table(
+                pa.Table.from_pandas(
+                    pd.DataFrame(rows, columns=names), preserve_index=False
+                ),
+                os.path.join(spill, f"shard-{shard:04d}-page-{n_pages:06d}.parquet"),
+            )
+            n_pages += 1
+
+        last = lo
+        while True:
+            # Pages advance over DISTINCT key values, then each page fetches
+            # its full closed key range (key > last AND key <= page_hi): a
+            # plain `key > last` row cursor SILENTLY DROPS the remaining
+            # duplicates of a boundary key when key_col is non-unique.
+            conds, params = [f"{key_col} IS NOT NULL"], []
+            if last is not None:
+                conds.append(f"{key_col} > {p}")
+                params.append(last)
+            if hi is not None:
+                conds.append(f"{key_col} <= {p}")
+                params.append(hi)
+            cur.execute(
+                f"SELECT DISTINCT {key_col} FROM {table} "
+                f"WHERE {' AND '.join(conds)} ORDER BY {key_col} LIMIT {p}",
+                (*params, batch_size),
+            )
+            keys = cur.fetchall()
+            if not keys:
+                break
+            # NATIVE python scalar: numpy types bind as blobs in sqlite3
+            # and silently match nothing
+            page_hi = keys[-1][0]
+            if last is None:
+                cur.execute(
+                    f"SELECT {sel} FROM {table} WHERE {key_col} <= {p} "
+                    f"ORDER BY {key_col}",
+                    (page_hi,),
+                )
+            else:
+                cur.execute(
+                    f"SELECT {sel} FROM {table} WHERE {key_col} > {p} "
+                    f"AND {key_col} <= {p} ORDER BY {key_col}",
+                    (last, page_hi),
+                )
+            write_page(cur.fetchall(), cur.description)
+            last = page_hi
+    return n_pages
+
+
 def read_table_keyset(
     table: str,
     key_col: str,
     connection_factory: Callable,
     batch_size: int = 10_000,
     columns: list[str] | None = None,
+    shards: int = 1,
+    paramstyle: str | None = None,
 ) -> ray.data.Dataset:
     """KEYSET-paginated read (the reference's odbc.rs:233-256 fix for O(n²)
     OFFSET pagination, generalized to any DBAPI source): pages advance over
@@ -56,80 +171,85 @@ def read_table_keyset(
     duplicate keys are never split/dropped across pages — O(n log n) total
     with an index on ``key_col``, bounded client memory, and a stable
     resume cursor (the last key IS the checkpoint, exactly like the
-    engine's LSN watermark)."""
+    engine's LSN watermark). Pages spill to parquet as they arrive (memory =
+    ONE page per worker), then the distributed read takes over — also makes
+    the ingest resumable at page granularity.
+
+    ``shards > 1`` splits a NUMERIC key space at min/max into equal ranges
+    paged by concurrent Ray tasks, each over its own connection (the
+    ray.data.read_sql sharding shape); non-numeric keys fall back to one
+    sequential shard. The spill dir must be on storage all workers share —
+    the same assumption the table root already makes.
+
+    ``paramstyle`` overrides DBAPI placeholder detection (sqlite3 → '?',
+    psycopg2/MySQLdb → '%s'); identifiers are validated, never trusted."""
     import os
     import tempfile
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    _check_ident(table)
+    _check_ident(key_col)
+    for c in columns or ():
+        _check_ident(c)
     sel = ", ".join(columns) if columns else "*"
-    # Pages are keyed on DISTINCT key values, then each page fetches the
-    # closed key range (key > last AND key <= hi): a plain `key > last`
-    # cursor over rows SILENTLY DROPS the remaining duplicates of a
-    # boundary key when key_col is non-unique. Page row count is
-    # batch_size × (max duplicates per key) — document key cardinality
-    # accordingly. Pages spill to parquet as they arrive (driver memory =
-    # ONE page), then the distributed read takes over — also makes the
-    # ingest resumable at page granularity.
     spill = tempfile.mkdtemp(prefix="tinyetl-keyset-")
-    n_pages = 0
-
-    def write_page(rows, description) -> None:
-        nonlocal n_pages
-        if not rows:
-            return
-        names = [d[0] for d in description]
-        pq.write_table(
-            pa.Table.from_pandas(
-                pd.DataFrame(rows, columns=names), preserve_index=False
-            ),
-            os.path.join(spill, f"page-{n_pages:06d}.parquet"),
-        )
-        n_pages += 1
-
+    bounds = None
     with _closing(connection_factory()) as conn:
+        style = paramstyle or _detect_paramstyle(conn)
+        _placeholder(style)  # fail fast on unsupported styles
         cur = conn.cursor()
-        # NULL keys compare false to everything, so the range pages below
-        # would silently drop them (and an all-NULL key column would loop
+        # NULL keys compare false to everything, so the range pages would
+        # silently drop them (and an all-NULL key column would loop
         # forever) — fetch them once up front
         cur.execute(f"SELECT {sel} FROM {table} WHERE {key_col} IS NULL")
-        write_page(cur.fetchall(), cur.description)
-        last = None
-        while True:
-            if last is None:
-                cur.execute(
-                    f"SELECT DISTINCT {key_col} FROM {table} "
-                    f"WHERE {key_col} IS NOT NULL ORDER BY {key_col} LIMIT ?",
-                    (batch_size,),
+        rows = cur.fetchall()
+        if rows:
+            names = [d[0] for d in cur.description]
+            pq.write_table(
+                pa.Table.from_pandas(
+                    pd.DataFrame(rows, columns=names), preserve_index=False
+                ),
+                os.path.join(spill, "null-keys.parquet"),
+            )
+        if shards > 1:
+            cur.execute(f"SELECT MIN({key_col}), MAX({key_col}) FROM {table}")
+            mn, mx = cur.fetchone()
+            if (
+                isinstance(mn, (int, float))
+                and isinstance(mx, (int, float))
+                and mx > mn
+            ):
+                bounds = [
+                    mn + (mx - mn) * s / shards for s in range(1, shards)
+                ]
+    if bounds is not None:
+        remote_pages = ray.remote(_keyset_pages)
+        edges = [None, *bounds, None]
+        ray.get(
+            [
+                remote_pages.remote(
+                    connection_factory,
+                    table,
+                    key_col,
+                    sel,
+                    batch_size,
+                    edges[s],
+                    edges[s + 1],
+                    spill,
+                    s,
+                    style,
                 )
-            else:
-                cur.execute(
-                    f"SELECT DISTINCT {key_col} FROM {table} WHERE {key_col} > ? "
-                    f"ORDER BY {key_col} LIMIT ?",
-                    (last, batch_size),
-                )
-            keys = cur.fetchall()
-            if not keys:
-                break
-            # NATIVE python scalar: numpy types bind as blobs in sqlite3
-            # and silently match nothing
-            hi = keys[-1][0]
-            if last is None:
-                cur.execute(
-                    f"SELECT {sel} FROM {table} WHERE {key_col} <= ? "
-                    f"ORDER BY {key_col}",
-                    (hi,),
-                )
-            else:
-                cur.execute(
-                    f"SELECT {sel} FROM {table} WHERE {key_col} > ? "
-                    f"AND {key_col} <= ? ORDER BY {key_col}",
-                    (last, hi),
-                )
-            write_page(cur.fetchall(), cur.description)
-            last = hi
-    if n_pages == 0:
+                for s in range(shards)
+            ]
+        )
+    else:
+        _keyset_pages(
+            connection_factory, table, key_col, sel, batch_size, None, None,
+            spill, 0, style,
+        )
+    if not os.listdir(spill):
         return ray.data.from_pandas(pd.DataFrame())
     return ray.data.read_parquet(spill)
 
@@ -137,6 +257,7 @@ def read_table_keyset(
 def create_table_sql(table: str, df: pd.DataFrame, dialect: str = "generic") -> str:
     cols = []
     for name, dtype in df.dtypes.items():
+        _check_ident(str(name))
         sql_t = _TYPE_SQL.get(str(dtype), "TEXT")
         if str(dtype).startswith("datetime"):
             sql_t = "TIMESTAMP"
@@ -156,9 +277,12 @@ def write_table(
     concurrency: int = 1,  # sqlite is single-writer; raise for server DBs
 ) -> int:
     """Distributed chunked INSERT (append-first; truncate on request —
-    transfer.rs:92-118 semantics). Returns rows written."""
+    transfer.rs:92-118 semantics). Placeholders follow the connection's
+    DBAPI paramstyle; identifiers are validated. Returns rows written."""
+    _check_ident(table)
     probe = ds.limit(1).to_pandas()
     with _closing(connection_factory()) as conn:
+        style = _detect_paramstyle(conn)
         cur = conn.cursor()
         cur.execute(create_table_sql(table, probe, dialect))
         if truncate:
@@ -167,8 +291,8 @@ def write_table(
 
     ncols = max(1, len(probe.columns))
     chunk_rows = max(1, max_bind_params // ncols)
-    cols = list(probe.columns)
-    placeholders = ",".join(["?"] * ncols)
+    cols = [_check_ident(c) for c in probe.columns]
+    placeholders = ",".join([_placeholder(style)] * ncols)
     insert = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders})"
 
     class Writer:

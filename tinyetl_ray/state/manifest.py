@@ -113,6 +113,74 @@ def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str
     }
 
 
+def write_snapshot_chunks(
+    root: str, pid: int, epoch: int, chunks, schema: pa.Schema
+) -> dict[str, Any]:
+    """Streaming variant of write_snapshot: consume an ITERATOR of
+    key-range-ordered chunks, writing parquet row groups incrementally so a
+    partition's state never has to fit in one task's memory (the spill-safe
+    merge path — see cdc._sorted_run_merge_chunks). Same atomic
+    write-then-rename and the same manifest shape.
+
+    The content fingerprint accumulates per chunk, so it is
+    chunking-dependent: identical REPLAYS produce identical chunking (row
+    counts and thresholds are deterministic) and therefore identical
+    fingerprints, which is the property the idempotence checks rely on;
+    fingerprints are not comparable across different chunk-size settings.
+    """
+    import pyarrow.compute as pc
+
+    from ..hashing import hash_strings
+
+    path = snapshot_path(root, pid, epoch)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".tmp-", suffix=".parquet")
+    os.close(fd)
+    h = hashlib.sha256()
+    rows = 0
+    n_del = 0
+    lsn_max = -1
+    turn_max = -1
+    try:
+        with pq.ParquetWriter(tmp, schema) as writer:
+            for t in chunks:
+                if len(t) == 0:
+                    continue
+                writer.write_table(t)
+                rows += len(t)
+                if "op" in t.column_names:
+                    n_del += (
+                        pc.sum(
+                            pc.cast(pc.equal(t.column("op"), "delete"), pa.int64())
+                        ).as_py()
+                        or 0
+                    )
+                lsn_max = max(lsn_max, int(pc.max(t.column("lsn")).as_py()))
+                turn_max = max(turn_max, int(pc.max(t.column("turn_idx")).as_py()))
+                h.update(hash_strings(t.column("conv_id")).tobytes())
+                h.update(t.column("turn_idx").to_numpy().tobytes())
+                h.update(t.column("lsn").to_numpy().tobytes())
+        h.update(str(rows).encode())
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+    return {
+        "partition": pid,
+        "epoch": epoch,
+        "file": os.path.relpath(path, root),
+        "rows": rows,
+        "tombstones": int(n_del),
+        "live_rows": rows - int(n_del),
+        "lsn_watermark": lsn_max,
+        "max_turn_idx": turn_max,
+        "content_hash": h.hexdigest(),
+    }
+
+
 def schema_to_b64(schema: pa.Schema) -> str:
     import base64
 
