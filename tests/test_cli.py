@@ -267,6 +267,58 @@ def test_source_type_override_extensionless_http(tmp_path, loopback_http):
     assert pq.read_table(out2).to_pandas()["name"].tolist() == ["tuck"]
 
 
+def test_ssh_transport_mock_scp(tmp_path, monkeypatch):
+    """ssh:// downloads via the system scp client (ssh.rs:28-96). No sshd in
+    the sandbox, so a mock scp on PATH verifies the exact command contract:
+    -P port, user@host:remote_path source, temp target, extension kept."""
+    remote = tmp_path / "remote.csv"
+    remote.write_text("id,name\n5,lin\n")
+    scp = tmp_path / "bin" / "scp"
+    scp.parent.mkdir()
+    scp.write_text(
+        "#!/bin/sh\n"
+        '# mock scp: record argv, then copy the local file named in "user@host:path"\n'
+        f'echo "$@" > {tmp_path}/scp_argv\n'
+        'src=""; dst=""\n'
+        "for a in \"$@\"; do\n"
+        '  case "$a" in\n'
+        "    *@*:*) src=${a#*:};;\n"
+        "    -*|22|2222) ;;\n"
+        '    *) dst="$a";;\n'
+        "  esac\n"
+        "done\n"
+        'cp "$src" "$dst"\n'
+    )
+    scp.chmod(0o755)
+    monkeypatch.setenv("PATH", f"{scp.parent}:{os.environ['PATH']}")
+
+    from tinyetl_ray.sources.urls import parse_target, ssh_download
+
+    path, table = parse_target(f"ssh://alice@example.com:2222{remote}")
+    assert table == "remote"
+    assert path.endswith(".csv")
+    with open(path) as f:
+        assert f.read() == "id,name\n5,lin\n"
+    argv = (tmp_path / "scp_argv").read_text()
+    assert "-P 2222" in argv and f"alice@example.com:{remote}" in argv
+
+    # full transfer through the CLI
+    out = str(tmp_path / "out_pq")
+    assert main(["transfer", f"ssh://alice@example.com{remote}", out,
+                 "--target-format", "parquet"]) == 0
+    assert pq.read_table(out).to_pandas()["name"].tolist() == ["lin"]
+
+    # contract errors, matching the reference's config validation
+    with pytest.raises(ValueError, match="username"):
+        ssh_download("ssh://example.com/x.csv")
+    with pytest.raises(ValueError, match="file path"):
+        ssh_download("ssh://u@example.com/")
+    # a failing scp surfaces as a connection error
+    scp.write_text("#!/bin/sh\nexit 1\n")
+    with pytest.raises(ConnectionError, match="SCP download failed"):
+        ssh_download(f"ssh://alice@example.com{remote}")
+
+
 def test_yaml_job_with_http_options(tmp_path, loopback_http):
     """YAML jobs must pass protocol options (the review-found gap: the
     options mapping never reached build_pipeline)."""

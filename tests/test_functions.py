@@ -449,6 +449,33 @@ def test_rp_lsh_production_regime():
     }
 
 
+def test_giant_bucket_anchor_cap():
+    """A bucket larger than FULL_PAIR_CAP must emit O(m·K) anchor edges, not
+    O(m²) — and an exact-dup explosion (the realistic giant bucket) still
+    collapses to ONE cluster through the anchors under verification."""
+    import tinyetl_ray.functions.dedup as dd
+
+    n = 200  # > FULL_PAIR_CAP=128
+    seg = pd.DataFrame(
+        {"band": [0] * n, "band_hash": [7] * n, "doc_id": range(n)}
+    )
+    pairs = dd._segmented_bucket_pairs(seg, star_only=False)
+    assert len(pairs) == sum(n - 1 - k for k in range(dd.N_ANCHORS))
+    # end to end: 200 identical docs + distinct background docs
+    df = pd.DataFrame(
+        {
+            "doc_id": range(n + 20),
+            "text": ["the same boilerplate text repeated verbatim each time"] * n
+            + [f"unique filler document number {i} with its own words" for i in range(20)],
+        }
+    )
+    out = dd.lsh_clusters_distributed(
+        ray.data.from_pandas(df), verify_threshold=0.5
+    ).to_pandas()
+    dup_clusters = out[out["doc_id"] < n]["cluster_id"].nunique()
+    assert dup_clusters == 1  # anchors keep the giant group connected
+
+
 def test_lsh_bucketed_no_broadcast_paths(monkeypatch):
     """Force BROADCAST_PAIR_LIMIT to 0 so every candidate set counts as
     'too large to broadcast': the broadcast-free bucketed paths (in-bucket

@@ -71,6 +71,44 @@ def test_transform_filter_drops_rows():
     assert out["id"].tolist() == [1, 3]
 
 
+def test_transform_lua_surface_parity():
+    """The reference README's documented Lua transforms, expressed with the
+    helper mapping (transform.py's Lua → helper table): string.sub /
+    string.match captures / tonumber / string.lower / `and-or` selection."""
+    df = pd.DataFrame(
+        {
+            "hire_date": ["1999-04-01", "2015-12-31", "bad"],
+            "email": ["A@X.COM", "B@Y.io", None],
+            "age": [25, 44, 31],
+        }
+    )
+    # README:859  hire_year = tonumber(string.sub(row.hire_date, 1, 4))
+    # README:491  year = tonumber(row.birth_date:match('^(%d%d%d%d)'))
+    # README:460  email=string.lower(row.email); age_group=age<30 and 'young' or 'mature'
+    t = ExpressionTransform(
+        "hire_year = tonumber(substr(hire_date, 0, 4));"
+        "hire_year2 = tonumber(extract(hire_date, r'^(\\d{4})'));"
+        "email_lc = lower(email);"
+        "age_group = iif(age < 30, 'young', 'mature')"
+    )
+    out = t(df)
+    assert out["hire_year"].tolist()[:2] == [1999, 2015]
+    assert pd.isna(out["hire_year"].iloc[2])  # tonumber('bad ') → nil/NaN
+    assert out["hire_year"].tolist()[:2] == out["hire_year2"].tolist()[:2]
+    assert out["email_lc"].tolist()[:2] == ["a@x.com", "b@y.io"]
+    assert out["age_group"].tolist() == ["young", "mature", "mature"]
+    # string.find / gsub / .. concatenation analogs
+    t2 = ExpressionTransform(
+        "at_pos = find(email, '@');"
+        "masked = replace(email, r'[A-Z]', '*');"
+        "tagged = concat(lower(email), ':', tostring(age))"
+    )
+    out2 = t2(df.dropna(subset=["email"]).reset_index(drop=True))
+    assert out2["at_pos"].tolist() == [1, 1]
+    assert out2["masked"].iloc[0] == "*@*.***"  # A@X.COM with [A-Z] → *
+    assert out2["tagged"].iloc[1] == "b@y.io:44"
+
+
 def test_function_transform_projection():
     ft = FunctionTransform(project(["id", "first_name"]))
     out = ft(employees_df())
@@ -185,8 +223,10 @@ def test_url_secrets_and_fragments(monkeypatch):
         inject_secrets("postgres://u:{missing}@h/db")
     assert parse_target("/tmp/x/foo.parquet#mytab") == ("/tmp/x/foo.parquet", "mytab")
     assert parse_target("file:///tmp/x/foo.parquet") == ("/tmp/x/foo.parquet", "foo")
+    with pytest.raises(ValueError):
+        parse_target("ssh://host/data.csv")  # username is required (ssh.rs)
     with pytest.raises(NotImplementedError):
-        parse_target("ssh://host/data.csv")  # no sshd in this environment
+        parse_target("snowflake://acct/db")  # mock deliberately unreproduced
     with pytest.raises(ConnectionError):
         # http(s) is implemented (download-to-temp) — an unreachable host is
         # a connection error, not a refusal; loopback path in test_cli.py

@@ -50,10 +50,21 @@ def _mix_band_hash(band: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
         )
 
 
+# Full-pair generation caps: buckets larger than FULL_PAIR_CAP would emit
+# O(m²) candidate pairs — a single degenerate hot bucket (shared boilerplate,
+# empty docs) at 10^10 scale could emit 10^11+ pairs and kill the job. Past
+# the cap every member instead connects to the N_ANCHORS smallest ids
+# (O(m·K) edges): losing a genuine near-dup connection then requires ALL K
+# anchors to be verification false positives — and giant buckets are in
+# practice exact-dup explosions where every anchor edge verifies anyway.
+FULL_PAIR_CAP = 128
+N_ANCHORS = 4
+
+
 def _segmented_bucket_pairs(g: pd.DataFrame, star_only: bool) -> pd.DataFrame:
     """Per-bucket pair generation over a whole hash partition: one sort,
     bucket boundaries detected on BOTH (band, band_hash) columns, numpy
-    triu/star expansion per segment — no Python callback per bucket.
+    triu/star/anchor expansion per segment — no Python callback per bucket.
     Shared by the MinHash and random-projection LSH paths."""
     g = g.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
     band = g["band"].to_numpy()
@@ -72,10 +83,14 @@ def _segmented_bucket_pairs(g: pd.DataFrame, star_only: bool) -> pd.DataFrame:
         if star_only:
             out_a.append(np.full(len(seg) - 1, seg[0]))
             out_b.append(seg[1:])
-        else:
+        elif len(seg) <= FULL_PAIR_CAP:
             ia, ib = np.triu_indices(len(seg), k=1)
             out_a.append(seg[ia])
             out_b.append(seg[ib])
+        else:  # degenerate giant bucket: K-anchor edges, never O(m²)
+            for k in range(min(N_ANCHORS, len(seg) - 1)):
+                out_a.append(np.full(len(seg) - 1 - k, seg[k]))
+                out_b.append(seg[k + 1 :])
     if not out_a:
         return pd.DataFrame(
             {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64")}

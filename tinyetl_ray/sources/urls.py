@@ -15,9 +15,12 @@ Reference semantics:
   dispatch takes over — mirroring src/protocols/http.rs:30-160 (tested
   against a loopback server, as the reference does with
   test_env/http-server).
-- ``ssh://`` is refused with a clear message (no sshd in this
-  environment); the reference's snowflake:// MOCK (snowflake.rs:226-294
-  fabricates data) is deliberately not reproduced — we refuse instead.
+- ``ssh://user@host[:port]/path`` downloads via the system ``scp`` client
+  to a temp file (src/protocols/ssh.rs:28-96 — same command shape, relaxed
+  host-key checks, extension-preserving temp file); tested against a mock
+  scp on PATH since the sandbox has no sshd.
+- the reference's snowflake:// MOCK (snowflake.rs:226-294 fabricates data)
+  is deliberately not reproduced — we refuse instead.
 """
 
 from __future__ import annotations
@@ -88,8 +91,52 @@ def http_download(url: str, options: dict[str, str] | None = None) -> str:
     return tmp
 
 
+def ssh_download(url: str) -> str:
+    """Download ``ssh://user@host[:port]/path`` to a temp file via the
+    system ``scp`` client and return the local path — the reference's
+    transport exactly (src/protocols/ssh.rs:28-96: scp -P port, host-key
+    checks relaxed, temp file keeps the remote extension). Requires a
+    username and a non-empty remote path, like the reference."""
+    import subprocess
+    import tempfile
+
+    parsed = urlparse(url)
+    if not parsed.hostname:
+        raise ValueError("SSH URL must specify a host")
+    if not parsed.username:
+        raise ValueError("SSH URL must specify a username (ssh://user@host/path)")
+    remote_path = parsed.path
+    if remote_path in ("", "/"):
+        raise ValueError("SSH URL must specify a file path")
+    ext = os.path.splitext(remote_path)[1]
+    fd, tmp = tempfile.mkstemp(suffix=ext, prefix="tinyetl-ssh-")
+    os.close(fd)
+    cmd = [
+        "scp",
+        "-P", str(parsed.port or 22),
+        "-o", "StrictHostKeyChecking=no",
+        "-o", "UserKnownHostsFile=/dev/null",
+        "-q",
+        f"{parsed.username}@{parsed.hostname}:{remote_path}",
+        tmp,
+    ]
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
+    except FileNotFoundError as err:
+        os.remove(tmp)
+        raise ConnectionError(
+            "scp client not found — ssh:// transport needs an ssh client installed"
+        ) from err
+    if res.returncode != 0:
+        os.remove(tmp)
+        raise ConnectionError(
+            f"SCP download failed ({res.returncode}): {res.stderr.strip()}"
+        )
+    return tmp
+
+
 def parse_target(uri: str, options: dict[str, str] | None = None) -> tuple[str, str]:
-    """URI → (local_path, table_name). http(s) URIs download to temp."""
+    """URI → (local_path, table_name). http(s)/ssh URIs download to temp."""
     uri = inject_secrets(uri)
     frag = None
     if "#" in uri:
@@ -101,11 +148,15 @@ def parse_target(uri: str, options: dict[str, str] | None = None) -> tuple[str, 
         path = http_download(uri, options)
         # table name falls back to the URL's file stem, not the temp name
         frag = frag or os.path.splitext(parsed.path.rsplit("/", 1)[-1])[0] or None
-    elif parsed.scheme in ("ssh", "snowflake"):
+    elif parsed.scheme == "ssh":
+        path = ssh_download(uri)
+        frag = frag or os.path.splitext(parsed.path.rsplit("/", 1)[-1])[0] or None
+    elif parsed.scheme == "snowflake":
         raise NotImplementedError(
-            f"{parsed.scheme}:// transport is unavailable in this environment "
-            "(no sshd / no snowflake; the reference's snowflake mock is "
-            "deliberately not reproduced)"
+            "snowflake:// is deliberately not reproduced: the reference's "
+            "snowflake connector is a data-fabricating mock "
+            "(snowflake.rs:226-294); refusing is more honest than inventing "
+            "rows"
         )
     else:
         raise ValueError(f"unsupported scheme {parsed.scheme!r}")

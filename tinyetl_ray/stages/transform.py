@@ -30,6 +30,19 @@ from collections.abc import Callable
 import numpy as np
 import pandas as pd
 
+# Lua → helper mapping for users porting reference transforms
+# (README:551-556 documents the supported Lua surface; Lua patterns like
+# %d translate to regex \d):
+#   string.lower/upper(s)        → lower(col) / upper(col)
+#   string.sub(s, i, j)          → substr(col, i-1, j)        (0-based here)
+#   string.gsub(s, pat, rep)     → replace(col, pat, rep)     (regex pat)
+#   string.match(s, '(%d%d%d%d)')→ extract(col, r'(\d{4})')   (capture group)
+#   string.find(s, pat)          → find(col, pat)             (0-based, -1=absent)
+#   s1 .. s2                     → concat(a, b) or a + b on string cols
+#   tonumber(s)                  → tonumber(col)               (nil→NaN coerce)
+#   tostring(x)                  → tostring(col)
+#   math.floor/ceil/abs          → floor/ceil/abs
+#   cond and a or b              → iif(cond, a, b)
 _HELPERS: dict[str, object] = {
     # string helpers (Lua string.* analogs, vectorized via pandas .str)
     "upper": lambda s: s.str.upper(),
@@ -39,9 +52,19 @@ _HELPERS: dict[str, object] = {
     "substr": lambda s, a, b=None: s.str.slice(a, b),
     "replace": lambda s, pat, rep: s.str.replace(pat, rep, regex=True),
     "match": lambda s, pat: s.str.match(pat),
+    "extract": lambda s, pat: s.str.extract(pat, expand=False),
+    "find": lambda s, sub: s.str.find(sub),
+    "contains": lambda s, pat: s.str.contains(pat, regex=True, na=False),
+    "startswith": lambda s, pre: s.str.startswith(pre, na=False),
+    "endswith": lambda s, suf: s.str.endswith(suf, na=False),
+    "split_part": lambda s, sep, i: s.str.split(sep).str[i],
+    "lpad": lambda s, n, c=" ": s.str.pad(n, side="left", fillchar=c),
     "concat": lambda *parts: _concat(parts),
     "coalesce": lambda *xs: _coalesce(xs),
     "iif": lambda cond, a, b: _iif(cond, a, b),
+    # type coercion (tonumber returns NaN where Lua returns nil)
+    "tonumber": lambda s: pd.to_numeric(s, errors="coerce"),
+    "tostring": lambda s: s.astype(str) if isinstance(s, pd.Series) else str(s),
     # math (numpy is already vectorized)
     "abs": np.abs,
     "floor": np.floor,
@@ -50,8 +73,11 @@ _HELPERS: dict[str, object] = {
     "sqrt": np.sqrt,
     "log": np.log,
     "exp": np.exp,
+    "pow": np.power,
+    "mod": np.mod,
     "min2": np.minimum,
     "max2": np.maximum,
+    "clip": lambda s, lo, hi: np.clip(s, lo, hi),
 }
 
 
