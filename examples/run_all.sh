@@ -98,19 +98,25 @@ files = glob.glob(\"$OUT/06_parquet/*.parquet\")
 assert files and sum(pq.ParquetFile(f).metadata.num_rows for f in files) == 3
 " 2>/dev/null'
 
-# 07: WAL-tail + incremental CDC-out (streaming end to end)
+# 07: WAL-tail + incremental CDC-out (streaming end to end). A burst of
+# pending files batches into ONE commit; a later-landing file becomes the
+# next epoch, visible through changes-since.
 mkdir -p "$OUT/incoming"
 python - "$OUT" <<'PY' >/dev/null 2>&1
 import sys, os
 import pyarrow.parquet as pq
 from tinyetl_ray.synth import make_changes
 out = sys.argv[1]
-for i, t in enumerate(make_changes(n_events=1200, n_convs=20, seed=31, n_epochs=2)):
+for i, t in enumerate(make_changes(n_events=1800, n_convs=20, seed=31, n_epochs=3)):
     pq.write_table(t, os.path.join(out, "incoming", f"{i:04d}.parquet"))
+os.rename(os.path.join(out, "incoming", "0002.parquet"),
+          os.path.join(out, "late.parquet"))  # lands after the first tail
 PY
 python -m tinyetl_ray.cli cdc tail "$OUT/07_table" "$OUT/incoming" --partitions 4 --poll 0.1 --max-idle 2 > "$OUT/07_tail.json" 2>/dev/null
+mv "$OUT/late.parquet" "$OUT/incoming/0002.parquet"
+python -m tinyetl_ray.cli cdc tail "$OUT/07_table" "$OUT/incoming" --partitions 4 --poll 0.1 --max-idle 2 > "$OUT/07_tail2.json" 2>/dev/null
 python -m tinyetl_ray.cli cdc changes-since "$OUT/07_table" 0 > "$OUT/07_delta.txt" 2>/dev/null
-check "07_tail_cdc_out" 'grep -q "\"applied_epochs\": \[0, 1\]" "$OUT/07_tail.json" && grep -qE "rows: [1-9]" "$OUT/07_delta.txt"'
+check "07_tail_cdc_out" 'grep -q "\"applied_epochs\": \[0\]" "$OUT/07_tail.json" && grep -q "\"applied_epochs\": \[1\]" "$OUT/07_tail2.json" && grep -qE "rows: [1-9]" "$OUT/07_delta.txt"'
 
 echo "----------------------------------------"
 echo "examples: $pass passed, $fail failed (out: $OUT)"

@@ -350,6 +350,30 @@ def test_sql_keyset_duplicate_keys(tmp_path):
     assert sorted(got["v"]) == sorted(src["v"])
 
 
+def test_sql_dialect_type_maps():
+    """DDL type maps mirror the reference connectors exactly
+    (postgres.rs:377-383, mysql.rs:390-399, mssql.rs:357-367)."""
+    from tinyetl_ray.sources.sql import create_table_sql
+
+    df = pd.DataFrame(
+        {
+            "i": pd.array([1], dtype="int64"),
+            "f": [1.5],
+            "b": [True],
+            "t": pd.to_datetime(["2024-01-01"]),
+            "s": ["x"],
+        }
+    )
+    ddl = {d: create_table_sql("tbl", df, d) for d in
+           ("generic", "sqlite", "postgres", "mysql", "mssql")}
+    assert "f DECIMAL," in ddl["postgres"] and "TIMESTAMP WITH TIME ZONE" in ddl["postgres"]
+    assert "f DECIMAL(65,30)" in ddl["mysql"] and "t DATETIME," in ddl["mysql"]
+    assert "f DECIMAL(18,6)" in ddl["mssql"] and "b BIT" in ddl["mssql"] \
+        and "s NVARCHAR(MAX)" in ddl["mssql"] and "t DATETIME2" in ddl["mssql"]
+    assert "f REAL" in ddl["sqlite"]
+    assert "f DOUBLE PRECISION" in ddl["generic"]
+
+
 def test_sql_keyset_sharded(tmp_path):
     """shards>1 splits the numeric key space into ranges paged by concurrent
     Ray tasks over separate connections — same result set as one shard

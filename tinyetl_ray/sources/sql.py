@@ -26,15 +26,55 @@ import pandas as pd
 import ray
 import ray.data
 
-_TYPE_SQL = {
-    "int64": "BIGINT",
-    "int32": "BIGINT",
-    "float64": "DOUBLE PRECISION",
-    "float32": "DOUBLE PRECISION",
-    "bool": "BOOLEAN",
-    "object": "TEXT",
-    "string": "TEXT",
+# Per-dialect DDL type maps, mirrored from the reference connectors:
+# postgres.rs:377-383, mysql.rs:390-399 (map_data_type_to_mysql),
+# mssql.rs:357-367 (sql_type_from_data_type). Logical types: int / float /
+# bool / datetime / string (pandas dtypes collapse onto these).
+_DIALECT_TYPES: dict[str, dict[str, str]] = {
+    "generic": {
+        "int": "BIGINT", "float": "DOUBLE PRECISION", "bool": "BOOLEAN",
+        "datetime": "TIMESTAMP", "string": "TEXT",
+    },
+    "sqlite": {
+        "int": "BIGINT", "float": "REAL", "bool": "BOOLEAN",
+        "datetime": "TIMESTAMP", "string": "TEXT",
+    },
+    "postgres": {
+        "int": "BIGINT", "float": "DECIMAL", "bool": "BOOLEAN",
+        "datetime": "TIMESTAMP WITH TIME ZONE", "string": "TEXT",
+    },
+    "mysql": {
+        "int": "BIGINT", "float": "DECIMAL(65,30)", "bool": "BOOLEAN",
+        "datetime": "DATETIME", "string": "TEXT",
+    },
+    "mssql": {
+        "int": "BIGINT", "float": "DECIMAL(18,6)", "bool": "BIT",
+        "datetime": "DATETIME2", "string": "NVARCHAR(MAX)",
+    },
 }
+
+# Engine bind-parameter budgets (sqlite.rs:355-402 ≤900 params;
+# postgres.rs:431-492 65535 params chunked to ≤1000 rows;
+# mssql.rs:563-620 2100 params / ≤1000 rows; mysql: effectively
+# max_allowed_packet-bound, use the postgres budget).
+_DIALECT_MAX_BIND_PARAMS = {
+    "generic": 900, "sqlite": 900, "postgres": 65_535,
+    "mysql": 65_535, "mssql": 2_100,
+}
+_DIALECT_MAX_ROWS_PER_INSERT = {"postgres": 1_000, "mssql": 1_000, "mysql": 1_000}
+
+
+def _logical_type(dtype) -> str:
+    s = str(dtype)
+    if s.startswith("datetime"):
+        return "datetime"
+    if s.startswith(("int", "uint")):
+        return "int"
+    if s.startswith("float"):
+        return "float"
+    if s == "bool":
+        return "bool"
+    return "string"
 
 
 def read_table(
@@ -255,15 +295,11 @@ def read_table_keyset(
 
 
 def create_table_sql(table: str, df: pd.DataFrame, dialect: str = "generic") -> str:
+    types = _DIALECT_TYPES.get(dialect, _DIALECT_TYPES["generic"])
     cols = []
     for name, dtype in df.dtypes.items():
         _check_ident(str(name))
-        sql_t = _TYPE_SQL.get(str(dtype), "TEXT")
-        if str(dtype).startswith("datetime"):
-            sql_t = "TIMESTAMP"
-        if dialect == "sqlite" and sql_t in ("DOUBLE PRECISION",):
-            sql_t = "REAL"
-        cols.append(f"{name} {sql_t}")
+        cols.append(f"{name} {types[_logical_type(dtype)]}")
     return f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(cols)})"
 
 
@@ -271,15 +307,20 @@ def write_table(
     ds: ray.data.Dataset,
     table: str,
     connection_factory: Callable,
-    max_bind_params: int = 900,
+    max_bind_params: int | None = None,
     dialect: str = "generic",
     truncate: bool = False,
     concurrency: int = 1,  # sqlite is single-writer; raise for server DBs
 ) -> int:
     """Distributed chunked INSERT (append-first; truncate on request —
     transfer.rs:92-118 semantics). Placeholders follow the connection's
-    DBAPI paramstyle; identifiers are validated. Returns rows written."""
+    DBAPI paramstyle; identifiers are validated; chunk sizing follows the
+    dialect's bind-parameter budget and per-INSERT row caps (sqlite ≤900
+    params, postgres 65535 params / ≤1000 rows, mssql 2100 params / ≤1000
+    rows — the reference's limits). Returns rows written."""
     _check_ident(table)
+    if max_bind_params is None:
+        max_bind_params = _DIALECT_MAX_BIND_PARAMS.get(dialect, 900)
     probe = ds.limit(1).to_pandas()
     with _closing(connection_factory()) as conn:
         style = _detect_paramstyle(conn)
@@ -291,6 +332,7 @@ def write_table(
 
     ncols = max(1, len(probe.columns))
     chunk_rows = max(1, max_bind_params // ncols)
+    chunk_rows = min(chunk_rows, _DIALECT_MAX_ROWS_PER_INSERT.get(dialect, chunk_rows))
     cols = [_check_ident(c) for c in probe.columns]
     placeholders = ",".join([_placeholder(style)] * ncols)
     insert = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders})"
