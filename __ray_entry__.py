@@ -240,6 +240,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with content, so accuracy is additionally asserted on real
         # multilingual sentences in tests/test_functions.py
         "lang_id": c.lang_id,
+        "pii_scrub": c.pii_scrub,
+        "doc_repetition": c.doc_repetition,
+        "contamination_flag": c.contamination_flag,
+        "hash_split": c.hash_split,
         "dedup_exact": c.dedup_exact,
         "dedup_minhash": c.dedup_minhash,
         "dedup_simhash": c.dedup_simhash,
@@ -517,6 +521,64 @@ def oracle_sql() -> dict[str, str]:
         # zero-crossing rate, histogram bin 0, channel means, container byte
         # sizes — with no engine code in the loop
         "multimodal_features": _MULTIMODAL_SQL,
+        # both sides augment with the SAME deterministic doc_id-derived PII
+        # suffix, then scrub with IDENTICAL RE2-compatible patterns (kept in
+        # lockstep with functions.text.PiiScrub.EMAIL/IPV4/PHONE) — the
+        # scrubbed-text md5 makes redaction value-exact byte-for-byte
+        "pii_scrub": _PII_SCRUB_SQL,
+        # independent DuckDB list-kernel recomputation of the Gopher-style
+        # repetition stats (list_distinct + list_zip bigrams)
+        "doc_repetition": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+              FROM documents
+            ), base AS (
+              SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nu, toks
+              FROM t
+            ), bg AS (
+              SELECT doc_id, n,
+                     unnest(list_zip(toks[1:len(toks)-1], toks[2:])) AS b
+              FROM base WHERE n >= 2
+            ), bc AS (
+              SELECT doc_id, any_value(n) AS n, count(*) AS c
+              FROM bg GROUP BY doc_id, b
+            ), topb AS (
+              SELECT doc_id, max(c) AS mx, any_value(n) AS n FROM bc GROUP BY doc_id
+            )
+            SELECT base.doc_id,
+                   ROUND(1 - CAST(nu AS DOUBLE) / greatest(base.n, 1), 6)
+                     AS dup_word_ratio,
+                   ROUND(coalesce(CAST(topb.mx AS DOUBLE)
+                                  / greatest(topb.n - 1, 1), 0.0), 6)
+                     AS top_bigram_frac
+            FROM base LEFT JOIN topb ON base.doc_id = topb.doc_id
+        """,
+        # probe substrings drawn identically on both sides (3 lowest doc_ids,
+        # chars 11-40); LIKE-free position() match = the engine's literal
+        # (regex-escaped) contains
+        "contamination_flag": """
+            WITH p AS (
+              SELECT substr(text, 11, 30) AS pat FROM documents
+              ORDER BY doc_id LIMIT 3
+            )
+            SELECT d.doc_id,
+                   CAST(max(CASE WHEN position(p.pat IN d.text) > 0
+                            THEN 1 ELSE 0 END) AS BOOLEAN) AS contaminated
+            FROM documents d CROSS JOIN p GROUP BY d.doc_id
+        """,
+        # md5-first-byte % 10 split recomputed via an in-SQL hex lookup —
+        # independent of the engine's python int(hex, 16)
+        "hash_split": """
+            WITH hexmap AS (
+              SELECT i, printf('%02x', i) AS hh
+              FROM (SELECT unnest(range(0, 256)) AS i)
+            ), h AS (SELECT doc_id, substr(md5(text), 1, 2) AS hh FROM documents)
+            SELECT h.doc_id,
+                   CASE hexmap.i % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val'
+                        ELSE 'train' END AS split
+            FROM h JOIN hexmap USING (hh)
+        """,
         "dedup_exact": """
             SELECT doc_id, text, lang, source, n_chars FROM (
               SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
@@ -655,6 +717,43 @@ def _quality_score_sql() -> str:
                 AND length(text) BETWEEN 10 AND 1000000) AS quality_ok
         FROM m
     """
+
+
+def _pii_scrub_sql() -> str:
+    """Oracle for PiiScrub, generated from the SAME pattern constants the
+    engine compiles (single source of truth — no drift possible); the
+    deterministic PII augmentation is mirrored in SQL."""
+    from tinyetl_ray.functions.text import PiiScrub
+
+    em, ip, ph = PiiScrub.EMAIL, PiiScrub.IPV4, PiiScrub.PHONE
+    return f"""
+        WITH a AS (
+          SELECT doc_id,
+                 coalesce(text, '') || ' contact: user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST(doc_id % 100 AS VARCHAR)
+                 || ' call +1 555-000-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   AS t
+          FROM documents
+        ), e AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t, '{em}')) AS BIGINT) AS n_emails,
+                 regexp_replace(t, '{em}', '<EMAIL>', 'g') AS t
+          FROM a
+        ), i AS (
+          SELECT doc_id, n_emails,
+                 CAST(len(regexp_extract_all(t, '{ip}')) AS BIGINT) AS n_ips,
+                 regexp_replace(t, '{ip}', '<IP>', 'g') AS t
+          FROM e
+        )
+        SELECT doc_id, n_emails, n_ips,
+               CAST(len(regexp_extract_all(t, '{ph}')) AS BIGINT) AS n_phones,
+               md5(regexp_replace(t, '{ph}', '<PHONE>', 'g')) AS scrubbed_md5
+        FROM i
+    """
+
+
+_PII_SCRUB_SQL = _pii_scrub_sql()
 
 
 def _lang_id_sql() -> str:

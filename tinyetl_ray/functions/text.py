@@ -144,6 +144,88 @@ class LangId:
         return out
 
 
+class PiiScrub:
+    """PII redaction for training corpora: emails → <EMAIL>, IPv4 → <IP>,
+    phone numbers → <PHONE>, applied in that order with regexes compiled
+    once per actor. Emits per-doc redaction counts plus the md5 of the
+    scrubbed text so redaction output is value-checkable byte-for-byte.
+    Patterns are RE2-compatible (no backrefs/lookarounds) so the DuckDB
+    oracle runs the IDENTICAL strings."""
+
+    EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    IPV4 = r"\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b"
+    PHONE = r"\+\d[\d\- ]{7,}\d"
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.email = re.compile(self.EMAIL)
+        self.ipv4 = re.compile(self.IPV4)
+        self.phone = re.compile(self.PHONE)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        s = df[self.text_col].fillna("")
+        out = df[["doc_id"]].copy()
+        out["n_emails"] = s.str.count(self.email).astype("int64")
+        s = s.str.replace(self.email, "<EMAIL>", regex=True)
+        out["n_ips"] = s.str.count(self.ipv4).astype("int64")
+        s = s.str.replace(self.ipv4, "<IP>", regex=True)
+        out["n_phones"] = s.str.count(self.phone).astype("int64")
+        s = s.str.replace(self.phone, "<PHONE>", regex=True)
+        out["scrubbed_md5"] = [hashlib.md5(x.encode("utf-8")).hexdigest() for x in s]
+        return out
+
+
+class RepetitionStats:
+    """Gopher-style within-document repetition filters, fully vectorized:
+    dup_word_ratio = 1 - distinct/total words; top_bigram_frac = frequency
+    of the most common word-2-gram over all 2-grams. Both computed over the
+    exploded token stream (index maps back to the row) — no Python loop per
+    document. High values flag boilerplate / degenerate generations."""
+
+    def __init__(self):
+        self.word_re = re.compile(r"\w+", re.ASCII)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(self.word_re)
+        n_tok = toks.str.len()
+        flat = toks.explode().dropna()
+        n_uniq = (
+            flat.groupby(level=0).nunique().reindex(df.index, fill_value=0)
+        )
+        nxt = flat.groupby(level=0).shift(-1)
+        bigrams = (flat + "\x00" + nxt).dropna()
+        cnt = bigrams.groupby([bigrams.index, bigrams]).size()
+        mx = cnt.groupby(level=0).max()
+        out = df[["doc_id"]].copy()
+        out["dup_word_ratio"] = (1 - n_uniq / n_tok.clip(lower=1)).round(6)
+        out["top_bigram_frac"] = (
+            (mx / (n_tok - 1).clip(lower=1)).reindex(df.index).fillna(0.0).round(6)
+        )
+        return out
+
+
+class HashSplit:
+    """Deterministic train/val/test assignment by content hash: the first
+    md5 byte mod 10 → 0 = test, 1 = val, else train (8/1/1). Content-keyed
+    (not id-keyed) so exact duplicates always land in the SAME split — the
+    property that prevents train/test leakage through duplicated documents."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+
+        buckets = [
+            int(hashlib.md5(t.encode("utf-8")).hexdigest()[:2], 16) % 10
+            for t in df["text"].fillna("")
+        ]
+        out = df[["doc_id"]].copy()
+        out["split"] = [
+            "test" if b == 0 else "val" if b == 1 else "train" for b in buckets
+        ]
+        return out
+
+
 class BpeishTokenCount:
     """BPE-style pre-tokenization count: lowercase runs of letters, digit
     runs, and non-space punctuation runs — the GPT-2 pre-tokenizer shape

@@ -603,44 +603,59 @@ def compact(table_root: str, drop_tombstones: bool = True) -> dict[str, Any]:
         raise FileNotFoundError(f"no committed epoch under {table_root}")
     epoch = prev["epoch"] + 1
     schema = mf.schema_from_b64(prev["schema_b64"]) if "schema_b64" in prev else None
-    files = mf.snapshot_files(table_root, prev)
-    if not files:
+    live_parts = [m for m in prev["partitions"] if m["rows"] > 0]
+    if not live_parts:
         return prev
-    ds = ray.data.read_parquet(files)
-    if schema is not None:
-        ds = ds.map_batches(lambda t, s=schema: align_to(t, s), batch_format="pyarrow")
-    # reuse the table's PINNED partitioner so rows route back to their own
-    # partition (incremental merges rely on pid-stable state files)
+    # the PINNED partitioner carries forward in the commit record
     num_partitions = prev.get("num_partitions", len(prev["partitions"]))
     turn_block = prev.get("turn_block", DEFAULT_TURN_BLOCK)
-    ds = ds.map_batches(
-        AddPartitionId(num_partitions, turn_block), batch_format="pyarrow"
-    )
 
     prior_wm = mf.partition_watermarks(prev)
 
-    def _rewrite(
-        group: pa.Table,
+    # Snapshots are ALREADY partitioned and key-sorted: compaction is a
+    # per-partition streaming rewrite — read own snapshot in row-group
+    # chunks, align/filter, append to the new snapshot — with NO shuffle.
+    # (Round 2 routed every row through the groupby exchange only to land
+    # in the partition it came from — an all-to-all that at 100 TB moves
+    # the entire table for nothing; it also held each partition's table in
+    # one task's memory, which write_snapshot_chunks avoids.)
+    def _rewrite_parts(
+        batch,
         root: str = table_root,
         ep: int = epoch,
+        sch: pa.Schema = schema,
         pw: dict[int, int] = prior_wm,
+        drop: bool = drop_tombstones,
     ) -> pa.Table:
-        pid = int(group.column(PARTITION_COL)[0].as_py())
-        t = group.drop_columns([PARTITION_COL])
-        if drop_tombstones:
-            t = t.filter(pc.equal(t.column("op"), "upsert"))
-        t = finalize_payload(t, drop_cols=())
-        man = mf.write_snapshot(root, pid, ep, t)
-        # carry the prior watermark forward: if this partition's max-lsn
-        # winner was a dropped tombstone, recomputing from survivors would
-        # REGRESS the watermark and weaken the replay lsn filter /
-        # changes_since semantics
-        man["lsn_watermark"] = max(int(man["lsn_watermark"]), int(pw.get(pid, -1)))
-        return pa.table({k: [man[k]] for k in man})
+        rows = []
+        for m in batch.to_pylist():
+            path = os.path.join(root, m["file"])
+            out_schema = sch if sch is not None else pq.read_schema(path)
+
+            def chunks():
+                pf = pq.ParquetFile(path)
+                for rb in pf.iter_batches(batch_size=SPILL_MERGE_CHUNK_ROWS):
+                    t = pa.Table.from_batches([rb])
+                    if sch is not None:
+                        t = align_to(t, sch)
+                    if drop:
+                        t = t.filter(pc.equal(t.column("op"), "upsert"))
+                    yield t  # filter preserves the snapshot's key order
+
+            man = mf.write_snapshot_chunks(root, m["partition"], ep, chunks(), out_schema)
+            # carry the prior watermark forward: if this partition's max-lsn
+            # winner was a dropped tombstone, recomputing from survivors
+            # would REGRESS the watermark and weaken the replay lsn filter /
+            # changes_since semantics
+            man["lsn_watermark"] = max(
+                int(man["lsn_watermark"]), int(pw.get(m["partition"], -1))
+            )
+            rows.append(man)
+        return pa.Table.from_pylist(rows)
 
     manifests = (
-        ds.groupby(PARTITION_COL)
-        .map_groups(_rewrite, batch_format="pyarrow")
+        ray.data.from_items(live_parts)
+        .map_batches(_rewrite_parts, batch_size=1, batch_format="pyarrow")
         .take_all()
     )
     # partitions with no LIVE rows after compaction become explicitly empty

@@ -17,8 +17,11 @@ from ..functions import multimodal as mm
 from ..functions.text import (
     BpeishTokenCount,
     Fingerprint,
+    HashSplit,
     LangId,
+    PiiScrub,
     QualityScore,
+    RepetitionStats,
     TextStats,
 )
 
@@ -121,6 +124,81 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(LangId(), batch_format="pandas").select_columns(
         ["doc_id", "lang", "lang_pred"]
     )
+
+
+def pii_scrub(sf_dir: str) -> ray.data.Dataset:
+    """PII redaction, value-checked byte-for-byte: the corpus carries no
+    real PII, so both sides (engine in pandas, oracle in SQL) append the
+    SAME deterministic doc_id-derived email/IP/phone suffix before
+    scrubbing — the redaction engine then runs against text that actually
+    contains every pattern class, and the scrubbed-text md5 is compared."""
+    import pandas as pd
+
+    def augment(df: pd.DataFrame) -> pd.DataFrame:
+        did = df["doc_id"].astype(int)
+        df = df.copy(deep=False)
+        df["text"] = (
+            df["text"].fillna("")
+            + " contact: user" + did.astype(str)
+            + "@example.com from 10.0." + (did % 256).astype(str)
+            + "." + (did % 100).astype(str)
+            + " call +1 555-000-" + (did % 10000).astype(str).str.zfill(4)
+        )
+        return df
+
+    return (
+        _docs(sf_dir)
+        .map_batches(augment, batch_format="pandas")
+        .map_batches(PiiScrub, batch_format="pandas", concurrency=(2, 8), num_cpus=0.5)
+    )
+
+
+def doc_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition filters per document (dup-word ratio,
+    top-bigram fraction) — an independent DuckDB list-kernel oracle
+    recomputes both."""
+    return _docs(sf_dir).map_batches(RepetitionStats(), batch_format="pandas")
+
+
+def contamination_flag(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark-contamination check: a probe set of verbatim substrings
+    (deterministically drawn from the 3 lowest-doc_id documents — standing
+    in for eval-set n-grams) is broadcast once; every document is flagged
+    if it contains ANY probe. Near-duplicates of the probe sources get
+    flagged too — exactly the leakage this op exists to catch."""
+    import re as _re
+
+    import pandas as pd
+
+    probes = [
+        (t or "")[10:40]
+        for t in _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .sort("doc_id")
+        .limit(3)
+        .to_pandas()["text"]
+    ]
+    pat = _re.compile("|".join(_re.escape(p) for p in probes if p))
+
+    class Flag:
+        def __init__(self):
+            self.pat = pat  # compiled once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            out = df[["doc_id"]].copy()
+            out["contaminated"] = df["text"].fillna("").str.contains(self.pat)
+            return out
+
+    return _docs(sf_dir).map_batches(
+        Flag, batch_format="pandas", concurrency=(2, 8), num_cpus=0.5
+    )
+
+
+def hash_split(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic content-hash train/val/test split (8/1/1): exact
+    duplicates always co-locate in one split (no train/test leakage via
+    dup docs)."""
+    return _docs(sf_dir).map_batches(HashSplit(), batch_format="pandas")
 
 
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
