@@ -255,6 +255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value-checked: closed-form payloads, oracle recomputes decoded
         # features with SQL math (see _MULTIMODAL_SQL)
         "multimodal_features": c.multimodal_features,
+        # value-checked: frame grid recomputed from closed-form payload sizes
+        "frame_sample": c.frame_sample,
     }
 
 
@@ -521,6 +523,8 @@ def oracle_sql() -> dict[str, str]:
         # zero-crossing rate, histogram bin 0, channel means, container byte
         # sizes — with no engine code in the loop
         "multimodal_features": _MULTIMODAL_SQL,
+        # frame grid from closed-form payload sizes (see _FRAME_SAMPLE_SQL)
+        "frame_sample": _FRAME_SAMPLE_SQL,
         # both sides augment with the SAME deterministic doc_id-derived PII
         # suffix, then scrub with IDENTICAL RE2-compatible patterns (kept in
         # lockstep with functions.text.PiiScrub.EMAIL/IPV4/PHONE) — the
@@ -859,6 +863,29 @@ UNION ALL
 SELECT i, 'image', n_bytes, f0, f1, f2, f3, f4 FROM ppm_feat
 UNION ALL
 SELECT i, 'image', n_bytes, f0, f1, f2, f3, f4 FROM bmp_feat
+"""
+
+
+# Frame grid of frame_sample (every=32, frame=16) recomputed from the
+# closed-form synth_media_real payload byte sizes: WAV = 44 + 2·n_samples;
+# PPM = exact "P6\n{w} {h}\n255\n" header + 3wh; BMP = 54 + h·(3w + row pad).
+# n_frames = len(range(0, n_bytes-16, 32)); every frame is a full 16 bytes
+# because range stops before n_bytes-16.
+_FRAME_SAMPLE_SQL = """
+WITH ids AS (SELECT unnest(range(0, 256)) AS i),
+sz AS (
+  SELECT i AS media_id,
+    CASE i % 3
+      WHEN 0 THEN 44 + 2 * (800 + (i % 5) * 100)
+      WHEN 1 THEN length('P6' || chr(10) || (8 + (i*3) % 8) || ' ' || (8 + i % 8)
+                        || chr(10) || '255' || chr(10))
+                  + 3 * (8 + (i*3) % 8) * (8 + i % 8)
+      ELSE 54 + (6 + i % 6) * (3 * (6 + (i*5) % 6)
+                               + (4 - (3 * (6 + (i*5) % 6)) % 4) % 4)
+    END AS n_bytes
+  FROM ids)
+SELECT media_id, CAST(f AS INTEGER) AS frame_idx, 16 AS frame_len
+FROM sz, LATERAL (SELECT unnest(range(0, (n_bytes - 17) // 32 + 1)) AS f)
 """
 
 

@@ -27,7 +27,9 @@ import time
 AMPLIFY = int(os.environ.get("TINYETL_BENCH_AMPLIFY", "20"))
 WIDE_MULT = int(os.environ.get("TINYETL_BENCH_WIDE_MULT", "160"))
 LSN_STRIDE = 100_000_000
-NUM_PARTITIONS = 64  # fixed across parallelism levels (SURVEY.md §4.3)
+# fixed across parallelism levels (SURVEY.md §4.3); the soak profile
+# overrides to 256 so one partition's merge state stays worker-heap-sized
+NUM_PARTITIONS = int(os.environ.get("TINYETL_BENCH_PARTITIONS", "64"))
 WIDE_CHUNKS = 64  # input files ≥ max parallelism so the read never caps the pool
 
 

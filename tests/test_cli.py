@@ -267,6 +267,48 @@ def test_source_type_override_extensionless_http(tmp_path, loopback_http):
     assert pq.read_table(out2).to_pandas()["name"].tolist() == ["tuck"]
 
 
+def test_corpus_cli_ops(tmp_path):
+    """Corpus subcommands run the training-data ops end to end over a
+    documents parquet and write parquet results."""
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the quick brown fox jumps over the lazy dog today",
+                "the quick brown fox jumps over the lazy dog today",  # exact dup
+                "contact me at a.b@example.com or +1 555-123-4567 ok",
+                "totally different text about cooking pasta with sauce",
+                "the the the the the the the the the the",  # repetitive
+                "pack my box with five dozen liquor jugs right now",
+            ],
+            "lang": ["en"] * 6,
+        }
+    )
+    src = str(tmp_path / "docs.parquet")
+    docs.to_parquet(src, index=False)
+
+    out = str(tmp_path / "dedup")
+    assert main(["corpus", "dedup-exact", src, out]) == 0
+    assert pq.read_table(out).num_rows == 5  # one exact dup removed
+
+    out2 = str(tmp_path / "scrub")
+    assert main(["corpus", "scrub", src, out2]) == 0
+    s = pq.read_table(out2).to_pandas().set_index("doc_id")
+    assert s.loc[2, "n_emails"] == 1 and s.loc[2, "n_phones"] == 1
+
+    out3 = str(tmp_path / "rep")
+    assert main(["corpus", "repetition", src, out3]) == 0
+    r = pq.read_table(out3).to_pandas().set_index("doc_id")
+    assert r.loc[4, "dup_word_ratio"] == 0.9  # 10 tokens, 1 distinct
+
+    out4 = str(tmp_path / "split")
+    assert main(["corpus", "split", src, out4]) == 0
+    sp = pq.read_table(out4).to_pandas().set_index("doc_id")
+    assert sp.loc[0, "split"] == sp.loc[1, "split"]  # dups co-locate
+
+
 def test_ssh_transport_mock_scp(tmp_path, monkeypatch):
     """ssh:// downloads via the system scp client (ssh.rs:28-96). No sshd in
     the sandbox, so a mock scp on PATH verifies the exact command contract:

@@ -375,6 +375,40 @@ def cmd_cdc(args) -> int:
     return 0
 
 
+def cmd_corpus(args) -> int:
+    """Training-data corpus ops as CLI jobs: read a documents parquet
+    (doc_id, text, ...), run the op distributed, write parquet."""
+    _ensure_ray()
+    from .functions import dedup as dd
+    from .functions.text import HashSplit, PiiScrub, QualityScore, RepetitionStats
+    from .sources.io import clean_read_parquet, write_any
+
+    ds = clean_read_parquet(args.input)
+    if args.corpus_cmd == "dedup-exact":
+        out = dd.exact_dedup(ds)
+    elif args.corpus_cmd == "cluster":
+        out = dd.lsh_clusters_distributed(
+            ds, verify_threshold=args.verify_threshold
+        )
+    elif args.corpus_cmd == "scrub":
+        out = ds.map_batches(
+            PiiScrub, batch_format="pandas", concurrency=(2, 8), num_cpus=0.5
+        )
+    elif args.corpus_cmd == "quality":
+        out = ds.map_batches(QualityScore(), batch_format="pandas")
+    elif args.corpus_cmd == "repetition":
+        out = ds.map_batches(RepetitionStats(), batch_format="pandas")
+    elif args.corpus_cmd == "split":
+        out = ds.map_batches(HashSplit(), batch_format="pandas")
+    else:  # pragma: no cover - argparse restricts choices
+        raise ValueError(args.corpus_cmd)
+    write_any(out, args.output, fmt="parquet")
+    from .sources.io import count_written_rows
+
+    print(f"{args.corpus_cmd}: {count_written_rows(args.output, fmt='parquet')} rows -> {args.output}")
+    return 0
+
+
 def sorted_files(path: str) -> list[str]:
     if os.path.isdir(path):
         return sorted(
@@ -466,6 +500,21 @@ def main(argv: list[str] | None = None) -> int:
     tl.add_argument("--poll", type=float, default=1.0)
     tl.add_argument("--max-idle", dest="max_idle", type=int, default=None)
     c.set_defaults(fn=cmd_cdc)
+
+    co = sub.add_parser(
+        "corpus",
+        help="training-data ops over a documents parquet (dedup/scrub/quality/split)",
+    )
+    cosub = co.add_subparsers(dest="corpus_cmd", required=True)
+    for name in ("dedup-exact", "cluster", "scrub", "quality", "repetition", "split"):
+        cp = cosub.add_parser(name)
+        cp.add_argument("input")
+        cp.add_argument("output")
+        if name == "cluster":
+            cp.add_argument(
+                "--verify-threshold", dest="verify_threshold", type=float, default=0.5
+            )
+    co.set_defaults(fn=cmd_corpus)
 
     args = p.parse_args(argv)
     return args.fn(args)

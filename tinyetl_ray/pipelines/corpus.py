@@ -307,6 +307,35 @@ def simsearch_ivf(sf_dir: str):
     )
 
 
+def frame_sample(sf_dir: str) -> ray.data.Dataset:
+    """'Video' keyframe-sampling plumbing over opaque binary payloads:
+    deterministic byte-range frames (every=32, frame=16) per media payload,
+    as an actor-pool map_batches with small batch_size. Value-checked: the
+    payload byte sizes are closed-form per media_id, so the DuckDB oracle
+    regenerates the exact (media_id, frame_idx, frame_len) rows with SQL
+    integer math. Frame BYTES stay out of the result (keep shuffles slim —
+    the payload-plumbing contract is covered by tests/test_functions.py)."""
+    import pyarrow.compute as pc
+
+    media = mm.synth_media_real(256)
+
+    def frames(t: pa.Table) -> pa.Table:
+        out = mm.frame_sample(t, every=32, frame=16)
+        return pa.table(
+            {
+                "media_id": out.column("media_id"),
+                "frame_idx": pc.cast(out.column("frame_idx"), pa.int32()),
+                "frame_len": pc.cast(
+                    pc.binary_length(out.column("frame")), pa.int32()
+                ),
+            }
+        )
+
+    return ray.data.from_arrow(media).map_batches(
+        frames, batch_format="pyarrow", batch_size=32
+    )
+
+
 def multimodal_features(sf_dir: str) -> ray.data.Dataset:
     """REAL binary-payload decode end to end — WAV (stdlib wave), PPM and
     24-bit BMP payloads decoded by the actor-pool CodecDecoder (formats
