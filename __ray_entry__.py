@@ -577,7 +577,8 @@ def oracle_sql() -> dict[str, str]:
             WITH hexmap AS (
               SELECT i, printf('%02x', i) AS hh
               FROM (SELECT unnest(range(0, 256)) AS i)
-            ), h AS (SELECT doc_id, substr(md5(text), 1, 2) AS hh FROM documents)
+            ), h AS (SELECT doc_id, substr(md5(coalesce(text, '')), 1, 2) AS hh
+                     FROM documents)
             SELECT h.doc_id,
                    CASE hexmap.i % 10 WHEN 0 THEN 'test' WHEN 1 THEN 'val'
                         ELSE 'train' END AS split

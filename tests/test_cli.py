@@ -350,6 +350,13 @@ def test_ssh_transport_mock_scp(tmp_path, monkeypatch):
                  "--target-format", "parquet"]) == 0
     assert pq.read_table(out).to_pandas()["name"].tolist() == ["lin"]
 
+    # option-injection guard: a '-'-leading username would make scp parse
+    # the source operand as an option (CVE-2017-1000117 pattern); both the
+    # identifier check and the '--' terminator block it
+    with pytest.raises(ValueError, match="must not start with"):
+        ssh_download("ssh://-oProxyCommand=evil@example.com/x.csv")
+    assert " -- " in argv  # option parsing terminated before the operand
+
     # contract errors, matching the reference's config validation
     with pytest.raises(ValueError, match="username"):
         ssh_download("ssh://example.com/x.csv")

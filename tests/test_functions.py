@@ -459,8 +459,12 @@ def test_giant_bucket_anchor_cap():
     seg = pd.DataFrame(
         {"band": [0] * n, "band_hash": [7] * n, "doc_id": range(n)}
     )
-    pairs = dd._segmented_bucket_pairs(seg, star_only=False)
+    pairs = dd._segmented_bucket_pairs(seg, star_only=False, full_pair_cap=dd.FULL_PAIR_CAP)
     assert len(pairs) == sum(n - 1 - k for k in range(dd.N_ANCHORS))
+    # pair-LIST consumers (cap=None, the default) keep the COMPLETE set —
+    # the cap is a connectivity-only degradation, never a silent truncation
+    full = dd._segmented_bucket_pairs(seg, star_only=False)
+    assert len(full) == n * (n - 1) // 2
     # end to end: 200 identical docs + distinct background docs
     df = pd.DataFrame(
         {

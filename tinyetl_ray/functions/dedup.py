@@ -50,22 +50,30 @@ def _mix_band_hash(band: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
         )
 
 
-# Full-pair generation caps: buckets larger than FULL_PAIR_CAP would emit
-# O(m²) candidate pairs — a single degenerate hot bucket (shared boilerplate,
-# empty docs) at 10^10 scale could emit 10^11+ pairs and kill the job. Past
-# the cap every member instead connects to the N_ANCHORS smallest ids
-# (O(m·K) edges): losing a genuine near-dup connection then requires ALL K
-# anchors to be verification false positives — and giant buckets are in
-# practice exact-dup explosions where every anchor edge verifies anyway.
+# Full-pair generation cap for CONNECTIVITY consumers (clustering): buckets
+# larger than FULL_PAIR_CAP would emit O(m²) candidate pairs — a single
+# degenerate hot bucket (shared boilerplate, empty docs) at 10^10 scale
+# could emit 10^11+ pairs and kill the job. Past the cap every member
+# instead connects to the N_ANCHORS smallest ids (O(m·K) edges): losing a
+# genuine near-dup CONNECTION then requires ALL K anchors to be
+# verification false positives — and giant buckets are in practice
+# exact-dup explosions where every anchor edge verifies anyway. The cap is
+# ONLY valid where connectivity suffices (lsh_clusters_distributed); the
+# pair-LIST ops (ngram_jaccard_pairs, embedding_neardup_lsh) contractually
+# emit the COMPLETE pair set and therefore pass full_pair_cap=None — for
+# them a dup-explosion's O(m²) output IS the answer, not overhead.
 FULL_PAIR_CAP = 128
 N_ANCHORS = 4
 
 
-def _segmented_bucket_pairs(g: pd.DataFrame, star_only: bool) -> pd.DataFrame:
+def _segmented_bucket_pairs(
+    g: pd.DataFrame, star_only: bool, full_pair_cap: int | None = None
+) -> pd.DataFrame:
     """Per-bucket pair generation over a whole hash partition: one sort,
     bucket boundaries detected on BOTH (band, band_hash) columns, numpy
     triu/star/anchor expansion per segment — no Python callback per bucket.
-    Shared by the MinHash and random-projection LSH paths."""
+    Shared by the MinHash and random-projection LSH paths.
+    ``full_pair_cap=None`` → complete pairs always (pair-list contract)."""
     g = g.sort_values(["band", "band_hash", "doc_id"], kind="mergesort")
     band = g["band"].to_numpy()
     bh = g["band_hash"].to_numpy()
@@ -83,11 +91,11 @@ def _segmented_bucket_pairs(g: pd.DataFrame, star_only: bool) -> pd.DataFrame:
         if star_only:
             out_a.append(np.full(len(seg) - 1, seg[0]))
             out_b.append(seg[1:])
-        elif len(seg) <= FULL_PAIR_CAP:
+        elif full_pair_cap is None or len(seg) <= full_pair_cap:
             ia, ib = np.triu_indices(len(seg), k=1)
             out_a.append(seg[ia])
             out_b.append(seg[ib])
-        else:  # degenerate giant bucket: K-anchor edges, never O(m²)
+        else:  # degenerate giant bucket, connectivity consumer: K anchors
             for k in range(min(N_ANCHORS, len(seg) - 1)):
                 out_a.append(np.full(len(seg) - 1 - k, seg[k]))
                 out_b.append(seg[k + 1 :])
@@ -634,11 +642,14 @@ def lsh_candidate_pairs(
     bands: int = 16,
     shingle_k: int = 5,
     star_only: bool = False,
+    full_pair_cap: int | None = None,
 ) -> ray.data.Dataset:
     """MinHash→LSH candidate pairs (a < b), deduplicated across bands.
     ``star_only`` pairs every bucket member with the bucket minimum
     (enough for connectivity/clustering, O(n) edges per bucket);
-    otherwise all in-bucket pairs (needed for complete pair listings)."""
+    otherwise all in-bucket pairs (needed for complete pair listings).
+    ``full_pair_cap`` (connectivity consumers only) degrades giant buckets
+    to K-anchor edges — see FULL_PAIR_CAP."""
     rows_per_band = num_perm // bands
     P = _shuffle_blocks() * 4
     sigs = ds.map_batches(
@@ -661,7 +672,7 @@ def lsh_candidate_pairs(
         sigs.map_batches(banded, batch_format="pandas")
         .groupby("_part")
         .map_groups(
-            lambda g, s=star_only: _segmented_bucket_pairs(g, s),
+            lambda g, s=star_only, c=full_pair_cap: _segmented_bucket_pairs(g, s, c),
             batch_format="pandas",
         )
     )
@@ -747,6 +758,9 @@ def lsh_clusters_distributed(
         bands=bands,
         shingle_k=shingle_k,
         star_only=verify_threshold is None,
+        # clustering needs CONNECTIVITY, not the complete pair list, so the
+        # K-anchor degradation for degenerate giant buckets is safe here
+        full_pair_cap=FULL_PAIR_CAP,
     ).materialize()  # consumed by verify AND mirrored below — never re-derive
     if verify_threshold is not None:
         verified = verify_jaccard_pairs(cand, ds, shingle_k=shingle_k)

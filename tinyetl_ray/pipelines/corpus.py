@@ -170,14 +170,20 @@ def contamination_flag(sf_dir: str) -> ray.data.Dataset:
 
     import pandas as pd
 
-    probes = [
-        (t or "")[10:40]
-        for t in _docs(sf_dir)
+    # bottom-3 doc_ids WITHOUT a global sort (an all-to-all of every text at
+    # 10^10 docs just to fetch 3 rows): per-batch local bottom-3 partials,
+    # then a tiny driver-side merge of ≤ 3·n_batches rows
+    def bottom3(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(3, "doc_id")[["doc_id", "text"]]
+
+    low = (
+        _docs(sf_dir)
         .select_columns(["doc_id", "text"])
-        .sort("doc_id")
-        .limit(3)
-        .to_pandas()["text"]
-    ]
+        .map_batches(bottom3, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(3, "doc_id")
+    )
+    probes = [(t or "")[10:40] for t in low["text"]]
     pat = _re.compile("|".join(_re.escape(p) for p in probes if p))
 
     class Flag:

@@ -105,6 +105,12 @@ def ssh_download(url: str) -> str:
         raise ValueError("SSH URL must specify a host")
     if not parsed.username:
         raise ValueError("SSH URL must specify a username (ssh://user@host/path)")
+    # a leading '-' would make scp parse the source operand as an OPTION
+    # (the CVE-2017-1000117 argument-injection pattern: a crafted
+    # ssh://-oProxyCommand=...@host/ URI executes attacker commands);
+    # reject it AND terminate option parsing with '--' below
+    if parsed.username.startswith("-") or parsed.hostname.startswith("-"):
+        raise ValueError("SSH username/host must not start with '-'")
     remote_path = parsed.path
     if remote_path in ("", "/"):
         raise ValueError("SSH URL must specify a file path")
@@ -117,6 +123,7 @@ def ssh_download(url: str) -> str:
         "-o", "StrictHostKeyChecking=no",
         "-o", "UserKnownHostsFile=/dev/null",
         "-q",
+        "--",
         f"{parsed.username}@{parsed.hostname}:{remote_path}",
         tmp,
     ]
@@ -127,6 +134,9 @@ def ssh_download(url: str) -> str:
         raise ConnectionError(
             "scp client not found — ssh:// transport needs an ssh client installed"
         ) from err
+    except subprocess.TimeoutExpired as err:
+        os.remove(tmp)
+        raise ConnectionError(f"SCP download timed out after 120s: {url}") from err
     if res.returncode != 0:
         os.remove(tmp)
         raise ConnectionError(
