@@ -138,10 +138,10 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
             os.path.join(work, "warm"), [wide_files], num_partitions=NUM_PARTITIONS
         )
         shutil.rmtree(os.path.join(work, "warm"), ignore_errors=True)
-        # shared-host CPU noise swings single measurements by ±50%; in
-        # headline-only (scaling-leg) mode take the MEDIAN of 3 timed
-        # replays so each leg is a stable statistic, not one sample
-        reps = 3 if only_headline else 1
+        # shared-host CPU noise swings single measurements by ±50%; the
+        # headline is always the MEDIAN of 3 timed replays so the recorded
+        # number is a stable statistic, not one sample (~7 s extra)
+        reps = 3
         times = []
         for r in range(reps):
             tdir = os.path.join(work, "table")
