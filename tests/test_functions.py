@@ -589,6 +589,88 @@ def test_exact_dedup_property(texts):
     assert sorted(got["doc_id"]) == sorted(want["doc_id"])
 
 
+def test_png_roundtrip_and_filters():
+    """Pure-stdlib PNG codec: encode→decode round trips RGB and RGBA
+    bit-exactly, every spec scanline filter (Sub/Up/Average/Paeth) decodes
+    a hand-filtered file back to the original, and non-8-bit-RGB shapes hit
+    the honest gate."""
+    import struct
+    import zlib
+
+    from tinyetl_ray.functions.multimodal import (
+        _PNG_SIG,
+        CodecDecoder,
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(11, 7, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)
+    rgba = rng.randint(0, 256, size=(5, 9, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgba)), rgba)
+
+    # hand-build a PNG using each filter type per scanline
+    h, w, ch = 6, 5, 3
+    orig = rng.randint(0, 256, size=(h, w, ch), dtype=np.uint8).astype(np.int32)
+    stride = w * ch
+    flat = orig.reshape(h, stride)
+    raw = b""
+    for r, ftype in enumerate([0, 1, 2, 3, 4, 1]):
+        up = flat[r - 1] if r > 0 else np.zeros(stride, np.int32)
+        line = np.zeros(stride, np.int32)
+        for x in range(stride):
+            a = flat[r][x - ch] if x >= ch else 0
+            b = up[x]
+            c = up[x - ch] if x >= ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                da, db, dc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (da <= db and da <= dc) else (b if db <= dc else c)
+            line[x] = (flat[r][x] - pred) % 256
+        raw += bytes([ftype]) + line.astype(np.uint8).tobytes()
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    payload = (_PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(raw))
+               + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), orig.astype(np.uint8))
+
+    # gates: 16-bit / palette / interlaced refuse instead of emitting garbage
+    bad = (_PNG_SIG
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0))
+           + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
+
+    # CodecDecoder dispatches on the PNG magic and emits image features
+    t = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([encode_png(img)], pa.binary()),
+            "meta_json": pa.array(["{}"]),
+        }
+    )
+    out = CodecDecoder()(t)
+    feats = out.column("features")[0].as_py()
+    assert out.column("decoded_kind")[0].as_py() == "image"
+    assert feats[0] == 7.0 and feats[1] == 11.0  # w, h
+    assert abs(feats[2] - img[:, :, 0].mean()) < 1e-9
+
+
 def test_wav_8bit_unsigned():
     """8-bit PCM is unsigned: digital silence (0x80) must decode to 0.0."""
     import io

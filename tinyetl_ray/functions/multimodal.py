@@ -84,8 +84,10 @@ class DeterministicFakeDecoder:
 
 # ---------------------------------------------------------------------------
 # Real codecs implementable WITHOUT external libraries: WAV (stdlib `wave`),
-# PPM (P6) and 24-bit BMP (pure struct math). JPEG/PNG/MP3/H.264 stay behind
-# the NotImplementedError gate below — that part is an honest stub.
+# PPM (P6), 24-bit BMP (pure struct math) and 8-bit RGB/RGBA PNG (stdlib
+# `zlib` + the five scanline filters from the public PNG spec). JPEG/MP3/
+# H.264 stay behind the NotImplementedError gate below — entropy coding +
+# DCT genuinely need codec libraries; that part is an honest stub.
 # ---------------------------------------------------------------------------
 
 
@@ -202,17 +204,118 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return out
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG bytes, written from the
+    public spec with stdlib zlib only: 8-bit color, no interlace, filter 0
+    on every scanline, one IDAT chunk."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    color_type = {3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[r].astype(np.uint8).tobytes() for r in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → HxWxC uint8 for 8-bit RGB/RGBA, no interlace. Implements all
+    five scanline filters (None/Sub/Up/Average/Paeth) from the spec; Sub is
+    a per-byte-lane cumulative sum, Up is one vector add, Average/Paeth use
+    the reference per-pixel recurrences. Palette/grayscale/16-bit/interlaced
+    files raise NotImplementedError (honest gate, not silent garbage)."""
+    import struct
+    import zlib
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    w = h = bit_depth = color_type = interlace = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit RGB/RGBA non-interlaced PNG (depth={bit_depth}, "
+            f"color_type={color_type}, interlace={interlace})"
+        )
+    ch = 3 if color_type == 2 else 4
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, count=stride, offset=r * (stride + 1) + 1
+        ).copy()
+        up = out[r - 1] if r > 0 else np.zeros(stride, np.uint8)
+        if ftype == 0:  # None
+            out[r] = line
+        elif ftype == 1:  # Sub: per-lane cumulative sum mod 256
+            for lane in range(ch):
+                out[r, lane::ch] = np.cumsum(line[lane::ch], dtype=np.uint64) & 0xFF
+        elif ftype == 2:  # Up
+            out[r] = line + up
+        elif ftype == 3:  # Average
+            row = out[r]
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(line[x]) + (left + int(up[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            row = out[r]
+            for x in range(stride):
+                a = int(row[x - ch]) if x >= ch else 0
+                b = int(up[x])
+                c = int(up[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else c)
+                row[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+    return out.reshape(h, w, ch)
+
+
 class CodecDecoder:
     """REAL decode path for codec-free formats: WAV (RIFF magic), PPM (P6),
-    24-bit BMP (BM). Emits unified feature rows: audio → [rate, n_samples,
-    rms, zero-crossing-rate] + 16-bin amplitude histogram; image → [width,
-    height, mean R, G, B] + 16-bin luminance histogram.
+    24-bit BMP (BM), 8-bit RGB/RGBA PNG (stdlib zlib + spec filters). Emits
+    unified feature rows: audio → [rate, n_samples, rms, zero-crossing-rate]
+    + 16-bin amplitude histogram; image → [width, height, mean R, G, B] +
+    16-bin luminance histogram.
 
-    Formats needing external codec libraries (JPEG/PNG/MP3/video) raise
-    NotImplementedError — that gate is the honest stub; swap in
-    `PIL.Image.open` / `soundfile.read` here when the libs exist. Runs as an
-    actor pool with small batch_size (payload bytes × batch × concurrency
-    must fit worker heap)."""
+    Formats needing external codec libraries (JPEG/MP3/video — entropy
+    coding + DCT) raise NotImplementedError — that gate is the honest stub;
+    swap in `PIL.Image.open` / `soundfile.read` here when the libs exist.
+    Runs as an actor pool with small batch_size (payload bytes × batch ×
+    concurrency must fit worker heap)."""
 
     def __init__(self, strict: bool = True):
         self.strict = strict  # False → unknown formats get null features
@@ -229,11 +332,13 @@ class CodecDecoder:
             img = decode_ppm(buf)
         elif buf.startswith(b"BM"):
             img = decode_bmp(buf)
+        elif buf.startswith(_PNG_SIG):
+            img = decode_png(buf)[:, :, :3]  # alpha dropped for RGB features
         else:
             if self.strict:
                 raise NotImplementedError(
                     "payload format needs codec libraries unavailable in this "
-                    "environment (only WAV/PPM/BMP decode without them)"
+                    "environment (only WAV/PPM/BMP/PNG decode without them)"
                 )
             return None
         lum = img.astype(np.float64).mean(axis=2)
