@@ -186,6 +186,47 @@ def test_changes_since(tmp_path):
         cdc.changes_since(root, after_epoch=2)  # nothing newer
 
 
+def test_changes_since_prunes_untouched_partitions(tmp_path):
+    """CDC-out opens ONLY partitions whose watermark advanced past the
+    anchor — an incremental epoch touching one conversation must not make
+    changes_since scan the whole table."""
+    import pyarrow.parquet as _pq
+
+    epochs, files = _write_epochs(tmp_path, n_epochs=1, n_events=3000)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files, num_partitions=16)
+    # tiny incremental epoch touching a single conversation
+    one = pa.table(
+        {
+            "lsn": pa.array([10_000_000], pa.int64()),
+            "op": pa.array(["upsert"]),
+            "conv_id": pa.array(["conv-1"]),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"]),
+            "text": pa.array(["late edit"]),
+            "tool": pa.array([None], pa.string()),
+            "ts": pa.array([2_000_000_000_000_000], pa.timestamp("us")),
+        }
+    )
+    p = str(tmp_path / "inc.parquet")
+    _pq.write_table(one, p)
+    cdc.replay_commit(root, [files[0], [p]], num_partitions=16)
+    delta = cdc.changes_since(root, after_epoch=0)
+    latest = mf.latest_commit(root)
+    wm0 = mf.list_commits(root)[0]["watermark"]
+    n_live = sum(1 for m in latest["partitions"] if m["rows"] > 0)
+    touched = [
+        m
+        for m in latest["partitions"]
+        if m["rows"] > 0 and m["lsn_watermark"] > wm0
+    ]
+    # the fixture advances exactly ONE partition past the anchor, so the
+    # manifest prune reads 1 snapshot instead of all n_live
+    assert len(touched) == 1 < n_live
+    got = delta.to_pandas()
+    assert got["text"].tolist() == ["late edit"]
+
+
 # ---------------------------------------------------------------------------
 # Hypothesis: replay == sequential oracle for arbitrary event lists
 # ---------------------------------------------------------------------------

@@ -828,7 +828,24 @@ def changes_since(table_root: str, after_epoch: int) -> ray.data.Dataset:
         raise ValueError(f"need commits on both sides of epoch {after_epoch}")
     wm = older[0]["watermark"]
     latest = newer[-1]
-    files = mf.snapshot_files(table_root, latest)
+    # MANIFEST-LEVEL partition prune: a partition whose current
+    # lsn_watermark never passed the older commit's watermark cannot hold a
+    # row with lsn > wm, so its snapshot is never opened — an incremental
+    # consumer of a 10^10-row table reads only the partitions that actually
+    # changed, not the table
+    touched = [
+        m
+        for m in latest["partitions"]
+        if m["rows"] > 0 and m["lsn_watermark"] > wm
+    ]
+    if not touched:
+        sch = (
+            mf.schema_from_b64(latest["schema_b64"])
+            if "schema_b64" in latest
+            else CHANGE_SCHEMA
+        )
+        return ray.data.from_arrow(sch.empty_table())
+    files = [os.path.join(table_root, m["file"]) for m in touched]
     ds = ray.data.read_parquet(files)
     if "schema_b64" in latest:
         s = mf.schema_from_b64(latest["schema_b64"])
