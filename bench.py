@@ -141,9 +141,8 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
         # shared-host CPU noise swings single measurements by ±50%; the
         # headline is always the MEDIAN of 3 timed replays so the recorded
         # number is a stable statistic, not one sample (~7 s extra)
-        reps = 3
         times = []
-        for r in range(reps):
+        for r in range(3):
             tdir = os.path.join(work, "table")
             if r:
                 shutil.rmtree(tdir, ignore_errors=True)
@@ -154,8 +153,7 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
 
         headline = statistics.median(times)
         queries["cdc_replay_commit_wide"] = round(headline, 3)
-        if reps > 1:
-            queries["cdc_replay_commit_wide_all"] = [round(t, 3) for t in times]
+        queries["cdc_replay_commit_wide_all"] = [round(t, 3) for t in times]
 
         t0 = time.perf_counter()
         n_final = cdc.read_table(os.path.join(work, "table")).count()

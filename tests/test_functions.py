@@ -654,6 +654,32 @@ def test_png_roundtrip_and_filters():
            + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
         decode_png(bad)
+    # corrupt files raise clean ValueErrors, not IndexError / None-IHDR noise
+    with pytest.raises(ValueError, match="missing IHDR"):
+        decode_png(_PNG_SIG + chunk(b"IEND", b""))
+    short = (_PNG_SIG
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0))
+             + chunk(b"IDAT", zlib.compress(b"\x00" + b"\x01" * 6))  # 1 of 2 rows
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        decode_png(short)
+    # strict=False keeps the null-features contract for unsupported VARIANTS
+    # of recognized containers (palette PNG) instead of killing the pool
+    palette = (_PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0))
+               + chunk(b"IEND", b""))
+    tp = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "kind": pa.array(["image"]),
+            "payload": pa.array([palette], pa.binary()),
+            "meta_json": pa.array(["{}"]),
+        }
+    )
+    lax = CodecDecoder(strict=False)(tp)
+    assert lax.column("features")[0].as_py() is None
+    with pytest.raises(NotImplementedError):
+        CodecDecoder(strict=True)(tp)
 
     # CodecDecoder dispatches on the PNG magic and emits image features
     t = pa.table(

@@ -262,6 +262,8 @@ def decode_png(payload: bytes) -> np.ndarray:
             idat += data
         elif tag == b"IEND":
             break
+    if w is None:
+        raise ValueError("corrupt PNG: missing IHDR chunk")
     if bit_depth != 8 or color_type not in (2, 6) or interlace != 0:
         raise NotImplementedError(
             f"only 8-bit RGB/RGBA non-interlaced PNG (depth={bit_depth}, "
@@ -270,6 +272,11 @@ def decode_png(payload: bytes) -> np.ndarray:
     ch = 3 if color_type == 2 else 4
     raw = zlib.decompress(idat)
     stride = w * ch
+    if len(raw) < h * (stride + 1):
+        raise ValueError(
+            f"corrupt PNG: IDAT decompressed to {len(raw)} bytes, "
+            f"need {h * (stride + 1)}"
+        )
     out = np.zeros((h, stride), dtype=np.uint8)
     for r in range(h):
         ftype = raw[r * (stride + 1)]
@@ -284,21 +291,27 @@ def decode_png(payload: bytes) -> np.ndarray:
                 out[r, lane::ch] = np.cumsum(line[lane::ch], dtype=np.uint64) & 0xFF
         elif ftype == 2:  # Up
             out[r] = line + up
-        elif ftype == 3:  # Average
-            row = out[r]
-            for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
-                row[x] = (int(line[x]) + (left + int(up[x])) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            row = out[r]
-            for x in range(stride):
-                a = int(row[x - ch]) if x >= ch else 0
-                b = int(up[x])
-                c = int(up[x - ch]) if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else c)
-                row[x] = (int(line[x]) + pred) & 0xFF
+        elif ftype in (3, 4):  # Average / Paeth: per-PIXEL ch-wide vectors
+            line32 = line.astype(np.int32)
+            up32 = up.astype(np.int32)
+            prev = np.zeros(ch, np.int32)
+            prev_up = np.zeros(ch, np.int32)
+            for x in range(0, stride, ch):
+                b = up32[x : x + ch]
+                if ftype == 3:
+                    pred = (prev + b) // 2
+                else:
+                    p = prev + b - prev_up
+                    da = np.abs(p - prev)
+                    db = np.abs(p - b)
+                    dc = np.abs(p - prev_up)
+                    pred = np.where(
+                        (da <= db) & (da <= dc), prev, np.where(db <= dc, b, prev_up)
+                    )
+                px = (line32[x : x + ch] + pred) & 0xFF
+                out[r, x : x + ch] = px
+                prev = px
+                prev_up = b
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
     return out.reshape(h, w, ch)
@@ -353,7 +366,16 @@ class CodecDecoder:
         kinds, feats = [], []
         for i in range(len(payloads)):
             buf = payloads[i].as_py() or b""
-            r = self._features(buf)
+            try:
+                r = self._features(buf)
+            except NotImplementedError:
+                # unsupported VARIANT of a recognized container (palette
+                # PNG, 24-bit WAV, compressed BMP): strict mode surfaces
+                # the gate; non-strict keeps the documented null-features
+                # contract instead of killing the pool mid-pipeline
+                if self.strict:
+                    raise
+                r = None
             kinds.append(r[0] if r else None)
             feats.append(r[1] if r else None)
         return pa.table(

@@ -845,7 +845,8 @@ def changes_since(table_root: str, after_epoch: int) -> ray.data.Dataset:
             else CHANGE_SCHEMA
         )
         return ray.data.from_arrow(sch.empty_table())
-    files = [os.path.join(table_root, m["file"]) for m in touched]
+    # single path-join point: snapshot_files owns manifest→path resolution
+    files = mf.snapshot_files(table_root, {"partitions": touched})
     ds = ray.data.read_parquet(files)
     if "schema_b64" in latest:
         s = mf.schema_from_b64(latest["schema_b64"])
