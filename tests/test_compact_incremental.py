@@ -268,6 +268,63 @@ def test_replay_matches_oracle_property(events):
         assert_frames_equal(got, want)
 
 
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    ep0_events=st.lists(_event, min_size=1, max_size=30),
+    ep1_events=st.lists(_event, min_size=1, max_size=30),
+)
+def test_spill_merge_property(tmp_path_factory, ep0_events, ep1_events):
+    """Property: for ARBITRARY two-epoch change lists (ts collisions,
+    deletes, duplicate keys), the spill-safe external sorted-run merge
+    produces state identical to the in-memory concat+sort path."""
+    import pyarrow.parquet as _pq
+
+    tmp = tmp_path_factory.mktemp("spill-prop")
+
+    def epoch_table(events, lsn0):
+        n = len(events)
+        return pa.table(
+            {
+                "lsn": pa.array(np.arange(lsn0, lsn0 + n, dtype=np.int64)),
+                "op": [e[0] for e in events],
+                "conv_id": [f"c{e[1]}" for e in events],
+                "turn_idx": pa.array([e[2] for e in events], pa.int32()),
+                "role": ["user"] * n,
+                "text": [None if e[0] == "delete" else e[4] for e in events],
+                "tool": [None] * n,
+                "ts": pa.array(
+                    [1_000_000 * e[3] for e in events], pa.timestamp("us")
+                ),
+            }
+        ).cast(CHANGE_SCHEMA)
+
+    files = []
+    for i, ev in enumerate([ep0_events, ep1_events]):
+        p = str(tmp / f"e{i}.parquet")
+        _pq.write_table(epoch_table(ev, i * 1000), p)
+        files.append([p])
+    mem_root, spill_root = str(tmp / "mem"), str(tmp / "spill")
+    cdc.replay_commit(mem_root, files, num_partitions=2)
+    cdc.replay_commit(
+        spill_root, files, num_partitions=2,
+        spill_merge_rows=0, spill_merge_chunk_rows=3,
+    )
+    mem = cdc.read_table(mem_root).to_pandas()
+    spill = cdc.read_table(spill_root).to_pandas()
+    if mem.empty:
+        assert spill.empty
+    else:
+        assert_frames_equal(spill, mem[spill.columns])
+    # tombstone counts per partition identical too
+    cm = {m["partition"]: m["tombstones"] for m in mf.latest_commit(mem_root)["partitions"]}
+    cs = {m["partition"]: m["tombstones"] for m in mf.latest_commit(spill_root)["partitions"]}
+    assert cm == cs
+
+
 def test_read_turn_point_lookup(tmp_path):
     epochs, files = _write_epochs(tmp_path, n_epochs=2)
     root = str(tmp_path / "t")
