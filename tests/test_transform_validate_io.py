@@ -411,6 +411,12 @@ def test_sql_keyset_sharded(tmp_path):
         read_table_keyset("dups; DROP TABLE dups", "k", factory)
     with pytest.raises(ValueError):
         read_table_keyset("dups", "k OR 1=1", factory)
+    # float keys (incl. negatives) shard correctly too
+    fsrc = pd.DataFrame({"k": [(-50 + i) / 7.0 for i in range(300)],
+                         "v": [f"f{i}" for i in range(300)]})
+    write_table(ray.data.from_pandas(fsrc), "fk", factory)
+    fgot = read_table_keyset("fk", "k", factory, batch_size=32, shards=3).to_pandas()
+    assert sorted(fgot["v"]) == sorted(fsrc["v"])
 
 
 def test_sql_keyset_null_keys(tmp_path):
