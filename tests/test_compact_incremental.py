@@ -325,6 +325,41 @@ def test_spill_merge_property(tmp_path_factory, ep0_events, ep1_events):
     assert cm == cs
 
 
+def test_repartition_table(tmp_path):
+    """Changing the pinned partitioner = COW rebuild into a new root: state
+    identical, tombstones survive, resume picks up the carried
+    last_change_epoch and the NEW partitioner, and point lookups route
+    through the new layout."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=3)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    cdc.replay_commit(src, files[:2], num_partitions=8)
+    cdc.repartition_table(src, dst, num_partitions=16)
+    a = cdc.read_table(src).to_pandas()
+    b = cdc.read_table(dst).to_pandas()
+    assert_frames_equal(b, a[b.columns])
+    c = mf.latest_commit(dst)
+    assert c["num_partitions"] == 16
+    # tombstones migrated (deletes must keep beating older-ts upserts)
+    assert sum(m["tombstones"] for m in c["partitions"]) == sum(
+        m["tombstones"] for m in mf.latest_commit(src)["partitions"]
+    ) > 0
+    # resume: replaying ALL epochs against both roots skips the applied two
+    # and applies only epoch 2 — final states equal across partitioners
+    cdc.replay_commit(src, files, num_partitions=8)
+    cdc.replay_commit(dst, files, num_partitions=999)  # pinned 16 wins
+    a2 = cdc.read_table(src).to_pandas()
+    b2 = cdc.read_table(dst).to_pandas()
+    assert_frames_equal(b2, a2[b2.columns])
+    assert mf.latest_commit(dst)["num_partitions"] == 16
+    # point lookup routes through the new layout
+    row = b2.iloc[5]
+    got = cdc.read_turn(dst, row["conv_id"], int(row["turn_idx"])).to_pandas()
+    assert len(got) == 1 and got.iloc[0]["text"] == row["text"]
+    # refuses to clobber an existing table
+    with pytest.raises(FileExistsError):
+        cdc.repartition_table(src, dst, num_partitions=4)
+
+
 def test_read_turn_point_lookup(tmp_path):
     epochs, files = _write_epochs(tmp_path, n_epochs=2)
     root = str(tmp_path / "t")

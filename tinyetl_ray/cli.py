@@ -363,6 +363,11 @@ def cmd_cdc(args) -> int:
         print("rows:", ds.count())
     elif args.cdc_cmd == "vacuum":
         print(json.dumps(cdc.vacuum(args.table, keep_last=args.keep_last)))
+    elif args.cdc_cmd == "repartition":
+        c = cdc.repartition_table(
+            args.table, args.dest, num_partitions=args.partitions
+        )
+        print(json.dumps({"epoch": c["epoch"], "num_partitions": c["num_partitions"]}))
     elif args.cdc_cmd == "tail":
         commits = cdc.tail(
             args.table,
@@ -493,6 +498,12 @@ def main(argv: list[str] | None = None) -> int:
     vac = csub.add_parser("vacuum")
     vac.add_argument("table")
     vac.add_argument("--keep-last", dest="keep_last", type=int, default=2)
+    rp = csub.add_parser(
+        "repartition", help="COW rebuild into a new root with a different partitioner"
+    )
+    rp.add_argument("table")
+    rp.add_argument("dest")
+    rp.add_argument("--partitions", type=int, required=True)
     tl = csub.add_parser("tail", help="watch a directory, apply new change files")
     tl.add_argument("table")
     tl.add_argument("watch_dir")

@@ -694,6 +694,97 @@ def compact(table_root: str, drop_tombstones: bool = True) -> dict[str, Any]:
     )
 
 
+def repartition_table(
+    src_root: str,
+    dst_root: str,
+    num_partitions: int,
+    turn_block: int = DEFAULT_TURN_BLOCK,
+) -> dict[str, Any]:
+    """Migrate a committed table to a NEW pinned partitioner.
+
+    The partitioner (num_partitions, turn_block) is a table property — this
+    is the documented "re-partitioning = compact into a new table root with
+    a different P" operation made real. Latest snapshots stream through the
+    new router (tombstones and lsn/op INCLUDED, so LWW semantics survive:
+    a late, older-ts upsert still loses to a migrated delete) and commit as
+    epoch 0 of the new root.
+
+    Watermark carry-forward: epochs apply in lsn order, so every event with
+    lsn ≤ the source's GLOBAL watermark has been applied; each new
+    partition's watermark is floored there (recomputing from winner rows
+    alone could under-state the stream position — winners don't retain
+    every applied lsn — causing harmless-but-wasteful re-merges on resume).
+    ``last_change_epoch`` carries forward so checkpoint resume against the
+    same change stream continues exactly where the source stopped."""
+    prev = mf.latest_commit(src_root)
+    if prev is None:
+        raise FileNotFoundError(f"no committed epoch under {src_root}")
+    if mf.latest_commit(dst_root) is not None:
+        raise FileExistsError(f"{dst_root} already has commits")
+    schema = mf.schema_from_b64(prev["schema_b64"]) if "schema_b64" in prev else None
+    files = mf.snapshot_files(src_root, prev)
+    wm_floor = int(prev["watermark"])
+
+    ds = ray.data.read_parquet(files) if files else None
+    manifests: list[dict[str, Any]] = []
+    if ds is not None:
+        if schema is not None:
+            ds = ds.map_batches(
+                lambda t, s=schema: align_to(t, s), batch_format="pyarrow"
+            )
+        ds = ds.map_batches(
+            AddPartitionId(num_partitions, turn_block), batch_format="pyarrow"
+        )
+
+        def _write(
+            group: pa.Table,
+            root: str = dst_root,
+            floor: int = wm_floor,
+        ) -> pa.Table:
+            pid = int(group.column(PARTITION_COL)[0].as_py())
+            t = finalize_payload(
+                group.drop_columns([PARTITION_COL]), drop_cols=()
+            )
+            man = mf.write_snapshot(root, pid, 0, t)
+            man["lsn_watermark"] = max(int(man["lsn_watermark"]), floor)
+            return pa.table({k: [man[k]] for k in man})
+
+        manifests = (
+            ds.repartition(default_shuffle_blocks())
+            .groupby(PARTITION_COL)
+            .map_groups(_write, batch_format="pyarrow")
+            .take_all()
+        )
+    seen = {m["partition"] for m in manifests}
+    for pid in range(num_partitions):
+        if pid not in seen:
+            manifests.append(
+                {
+                    "partition": pid,
+                    "epoch": 0,
+                    "file": "",
+                    "rows": 0,
+                    "tombstones": 0,
+                    "live_rows": 0,
+                    "lsn_watermark": wm_floor,
+                    "content_hash": "",
+                }
+            )
+    return mf.commit_epoch(
+        dst_root,
+        0,
+        manifests,
+        {"repartitioned_from": src_root, "src_epoch": prev["epoch"]},
+        schema=schema,
+        extra={
+            "num_partitions": num_partitions,
+            "turn_block": turn_block,
+            "last_change_epoch": _last_change_epoch(prev),
+        },
+        expected_prev_epoch=-1,
+    )
+
+
 def vacuum(table_root: str, keep_last: int = 2) -> dict[str, Any]:
     """Snapshot GC (Delta-VACUUM analog): delete partition snapshot files
     referenced ONLY by commits older than the newest ``keep_last`` — those
