@@ -240,6 +240,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with content, so accuracy is additionally asserted on real
         # multilingual sentences in tests/test_functions.py
         "lang_id": c.lang_id,
+        # composed cleaning pipeline (quality+repetition+contamination+dedup
+        # in one flow) — oracle assembled from the same generated sub-oracles
+        "corpus_clean": c.corpus_clean,
         "pii_scrub": c.pii_scrub,
         "doc_repetition": c.doc_repetition,
         "contamination_flag": c.contamination_flag,
@@ -525,6 +528,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": _MULTIMODAL_SQL,
         # frame grid from closed-form payload sizes (see _FRAME_SAMPLE_SQL)
         "frame_sample": _FRAME_SAMPLE_SQL,
+        # the cleaning verdict composed from the SAME generated sub-oracles
+        # (quality, repetition, contamination, canonical-copy row_number)
+        "corpus_clean": _corpus_clean_sql(),
         # both sides augment with the SAME deterministic doc_id-derived PII
         # suffix, then scrub with IDENTICAL RE2-compatible patterns (kept in
         # lockstep with functions.text.PiiScrub.EMAIL/IPV4/PHONE) — the
@@ -532,45 +538,11 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SCRUB_SQL,
         # independent DuckDB list-kernel recomputation of the Gopher-style
         # repetition stats (list_distinct + list_zip bigrams)
-        "doc_repetition": r"""
-            WITH t AS (
-              SELECT doc_id,
-                     regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
-              FROM documents
-            ), base AS (
-              SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nu, toks
-              FROM t
-            ), bg AS (
-              SELECT doc_id, n,
-                     unnest(list_zip(toks[1:len(toks)-1], toks[2:])) AS b
-              FROM base WHERE n >= 2
-            ), bc AS (
-              SELECT doc_id, any_value(n) AS n, count(*) AS c
-              FROM bg GROUP BY doc_id, b
-            ), topb AS (
-              SELECT doc_id, max(c) AS mx, any_value(n) AS n FROM bc GROUP BY doc_id
-            )
-            SELECT base.doc_id,
-                   ROUND(1 - CAST(nu AS DOUBLE) / greatest(base.n, 1), 6)
-                     AS dup_word_ratio,
-                   ROUND(coalesce(CAST(topb.mx AS DOUBLE)
-                                  / greatest(topb.n - 1, 1), 0.0), 6)
-                     AS top_bigram_frac
-            FROM base LEFT JOIN topb ON base.doc_id = topb.doc_id
-        """,
+        "doc_repetition": _DOC_REPETITION_SQL,
         # probe substrings drawn identically on both sides (3 lowest doc_ids,
         # chars 11-40); LIKE-free position() match = the engine's literal
         # (regex-escaped) contains
-        "contamination_flag": """
-            WITH p AS (
-              SELECT substr(text, 11, 30) AS pat FROM documents
-              ORDER BY doc_id LIMIT 3
-            )
-            SELECT d.doc_id,
-                   CAST(max(CASE WHEN position(p.pat IN d.text) > 0
-                            THEN 1 ELSE 0 END) AS BOOLEAN) AS contaminated
-            FROM documents d CROSS JOIN p GROUP BY d.doc_id
-        """,
+        "contamination_flag": _CONTAMINATION_SQL,
         # md5-first-byte % 10 split recomputed via an in-SQL hex lookup —
         # independent of the engine's python int(hex, 16)
         "hash_split": """
@@ -721,6 +693,71 @@ def _quality_score_sql() -> str:
                 AND mwl BETWEEN 2.0 AND 14.0
                 AND length(text) BETWEEN 10 AND 1000000) AS quality_ok
         FROM m
+    """
+
+
+_DOC_REPETITION_SQL = r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nu, toks
+      FROM t
+    ), bg AS (
+      SELECT doc_id, n,
+             unnest(list_zip(toks[1:len(toks)-1], toks[2:])) AS b
+      FROM base WHERE n >= 2
+    ), bc AS (
+      SELECT doc_id, any_value(n) AS n, count(*) AS c
+      FROM bg GROUP BY doc_id, b
+    ), topb AS (
+      SELECT doc_id, max(c) AS mx, any_value(n) AS n FROM bc GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           ROUND(1 - CAST(nu AS DOUBLE) / greatest(base.n, 1), 6)
+             AS dup_word_ratio,
+           ROUND(coalesce(CAST(topb.mx AS DOUBLE)
+                          / greatest(topb.n - 1, 1), 0.0), 6)
+             AS top_bigram_frac
+    FROM base LEFT JOIN topb ON base.doc_id = topb.doc_id
+"""
+
+_CONTAMINATION_SQL = """
+    WITH p AS (
+      SELECT substr(text, 11, 30) AS pat FROM documents
+      ORDER BY doc_id LIMIT 3
+    )
+    SELECT d.doc_id,
+           CAST(max(CASE WHEN position(p.pat IN d.text) > 0
+                    THEN 1 ELSE 0 END) AS BOOLEAN) AS contaminated
+    FROM documents d CROSS JOIN p GROUP BY d.doc_id
+"""
+
+
+def _corpus_clean_sql(dup_word_cut: float = 0.6) -> str:
+    """Oracle for the composed cleaning pipeline, assembled from the SAME
+    generated/shared sub-oracles (quality from the stopword tables,
+    repetition, contamination) plus a row_number canonical-copy mark — each
+    component has a single source of truth, so the composition cannot drift
+    from the per-component oracles."""
+    return f"""
+        WITH q AS ({_quality_score_sql()}),
+        r AS ({_DOC_REPETITION_SQL}),
+        cont AS ({_CONTAMINATION_SQL}),
+        w AS (
+          SELECT doc_id,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+                   AS is_canonical
+          FROM documents
+        )
+        SELECT q.doc_id, q.quality_ok, r.dup_word_ratio, cont.contaminated,
+               w.is_canonical,
+               (q.quality_ok AND NOT cont.contaminated AND w.is_canonical
+                AND r.dup_word_ratio <= {dup_word_cut}) AS keep
+        FROM q JOIN r ON q.doc_id = r.doc_id
+               JOIN cont ON q.doc_id = cont.doc_id
+               JOIN w ON q.doc_id = w.doc_id
     """
 
 

@@ -207,6 +207,82 @@ def hash_split(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(HashSplit(), batch_format="pandas")
 
 
+def corpus_clean(sf_dir: str, dup_word_cut: float = 0.6) -> ray.data.Dataset:
+    """The composed training-data cleaning pipeline as ONE streaming flow:
+    quality flags + repetition stats + contamination check run in a single
+    vectorized pass per batch (no extra scans), then one text-hash shuffle
+    marks the canonical copy per exact-duplicate group, and `keep` is the
+    conjunction — the per-document verdict a real corpus build would
+    materialize. Value-checked against a DuckDB oracle composed from the
+    same generated sub-oracles (single source of truth per component)."""
+    import re as _re
+
+    import pandas as pd
+
+    def bottom3(df: pd.DataFrame) -> pd.DataFrame:
+        return df.nsmallest(3, "doc_id")[["doc_id", "text"]]
+
+    low = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(bottom3, batch_format="pandas")
+        .to_pandas()
+        .nsmallest(3, "doc_id")
+    )
+    pat = _re.compile(
+        "|".join(_re.escape((t or "")[10:40]) for t in low["text"] if (t or "")[10:40])
+    )
+
+    class Flags:
+        def __init__(self):
+            self.quality = QualityScore()
+            self.rep = RepetitionStats()
+            self.pat = pat  # compiled once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            q = self.quality(df)
+            r = self.rep(df)
+            out = df[["doc_id", "text"]].copy()
+            out["quality_ok"] = q["quality_ok"].to_numpy()
+            out["dup_word_ratio"] = r["dup_word_ratio"].to_numpy()
+            out["contaminated"] = (
+                df["text"].fillna("").str.contains(self.pat).to_numpy()
+            )
+            return out
+
+    flagged = _docs(sf_dir).map_batches(
+        Flags, batch_format="pandas", concurrency=(2, 8), num_cpus=0.5
+    )
+
+    # canonical-copy marking: the exact_dedup routing (text-hash % P) so all
+    # copies of a text meet in one partition — one slim shuffle total
+    P = 64
+
+    def add_keys(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["text"].fillna("").to_numpy(dtype=object))
+        df = df.copy(deep=False)
+        df["_part"] = (h % np.uint64(P)).astype(np.int32)
+        return df
+
+    def finish(g: pd.DataFrame, cut: float = dup_word_cut) -> pd.DataFrame:
+        canonical = g["doc_id"] == g.groupby("text")["doc_id"].transform("min")
+        out = g[["doc_id", "quality_ok", "dup_word_ratio", "contaminated"]].copy()
+        out["is_canonical"] = canonical.to_numpy()
+        out["keep"] = (
+            out["quality_ok"]
+            & ~out["contaminated"]
+            & out["is_canonical"]
+            & (out["dup_word_ratio"] <= cut)
+        )
+        return out
+
+    return (
+        flagged.map_batches(add_keys, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     return dd.exact_dedup(_docs(sf_dir))
 
