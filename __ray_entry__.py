@@ -723,24 +723,33 @@ _DOC_REPETITION_SQL = r"""
     FROM base LEFT JOIN topb ON base.doc_id = topb.doc_id
 """
 
+# probe filter + row-preserving correlated subquery keep this aligned with
+# the engine's _probe_pattern semantics on degenerate corpora: empty/NULL
+# probe slices are DROPPED (not matched-by-everything via an empty pattern),
+# and zero surviving probes means every document is contaminated=FALSE
+# (a CROSS JOIN + GROUP BY would instead emit zero rows)
 _CONTAMINATION_SQL = """
     WITH p AS (
-      SELECT substr(text, 11, 30) AS pat FROM documents
-      ORDER BY doc_id LIMIT 3
+      SELECT pat FROM (
+        SELECT substr(text, 11, 30) AS pat FROM documents
+        ORDER BY doc_id LIMIT 3
+      ) WHERE pat IS NOT NULL AND pat <> ''
     )
     SELECT d.doc_id,
-           CAST(max(CASE WHEN position(p.pat IN d.text) > 0
-                    THEN 1 ELSE 0 END) AS BOOLEAN) AS contaminated
-    FROM documents d CROSS JOIN p GROUP BY d.doc_id
+           coalesce((SELECT bool_or(position(p.pat IN d.text) > 0) FROM p),
+                    FALSE) AS contaminated
+    FROM documents d
 """
 
 
-def _corpus_clean_sql(dup_word_cut: float = 0.6) -> str:
+def _corpus_clean_sql(dup_word_cut: float | None = None) -> str:
     """Oracle for the composed cleaning pipeline, assembled from the SAME
     generated/shared sub-oracles (quality from the stopword tables,
     repetition, contamination) plus a row_number canonical-copy mark — each
-    component has a single source of truth, so the composition cannot drift
-    from the per-component oracles."""
+    component, INCLUDING the repetition cut, has a single source of truth,
+    so the composition cannot drift from the per-component oracles."""
+    if dup_word_cut is None:
+        from tinyetl_ray.pipelines.corpus import DUP_WORD_CUT as dup_word_cut
     return f"""
         WITH q AS ({_quality_score_sql()}),
         r AS ({_DOC_REPETITION_SQL}),

@@ -84,3 +84,73 @@ def test_entry_smoke():
     out = _to_pandas(e.entry())
     assert len(out) >= 0
     assert "conv_id" in out.columns
+
+
+# ---------------------------------------------------------------------------
+# degenerate-corpus parity: the real fixtures contain zero exact-duplicate
+# texts, zero NULL texts, and no text shorter than the probe offset, so the
+# canonical-copy marking and the probe-filter semantics are vacuous above.
+# A planted corpus exercises them for real on BOTH sides.
+# ---------------------------------------------------------------------------
+
+
+def _planted_docs_dir(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sf_planted"
+    d.mkdir()
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(d / "documents.parquet"))
+    return str(d)
+
+
+LONG_A = "the quick brown fox jumps over the lazy dog again and again " * 3
+LONG_B = "a completely different document body with plenty of words here " * 3
+
+
+@pytest.mark.parametrize("case,rows", [
+    # exact duplicates (incl. a triple) + NULL texts + an empty text: the
+    # canonical copy is min-doc_id per text group, NULLs form ONE group
+    # distinct from ''
+    ("dups_nulls", [
+        (1, LONG_A), (2, LONG_B), (3, LONG_A), (4, None), (5, None),
+        (6, ""), (7, LONG_A), (8, LONG_B + " tail"),
+    ]),
+    # every probe-source text shorter than the probe offset: all probe
+    # slices are empty -> no document is contaminated (and the oracle must
+    # still emit one row per doc)
+    ("short_probes", [
+        (1, "tiny"), (2, "also tiny"), (3, None),
+        (4, LONG_A), (5, LONG_A), (6, LONG_B),
+    ]),
+])
+def test_corpus_clean_planted_corpus(case, rows, tmp_path):
+    import __ray_entry__ as e
+
+    sf = _planted_docs_dir(tmp_path, rows)
+    c2 = duckdb.connect()
+    c2.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf, 'documents.parquet')}')"
+    )
+    for name in ("contamination_flag", "corpus_clean"):
+        got = _to_pandas(e.queries()[name](sf))
+        want = c2.sql(e.oracle_sql()[name]).df()
+        assert sorted(got.columns) == sorted(want.columns), name
+        assert len(got) == len(want) == len(rows), name
+        pd.testing.assert_frame_equal(
+            _normalize(got), _normalize(want),
+            check_dtype=False, check_exact=False, rtol=1e-9,
+        )
+    if case == "dups_nulls":
+        clean = _to_pandas(e.queries()["corpus_clean"](sf)).set_index("doc_id")
+        # min-doc_id per duplicate group is canonical; NULLs group together
+        assert clean.loc[1, "is_canonical"] and not clean.loc[3, "is_canonical"]
+        assert not clean.loc[7, "is_canonical"]
+        assert clean.loc[4, "is_canonical"] and not clean.loc[5, "is_canonical"]
+        assert clean.loc[6, "is_canonical"]  # '' is NOT the NULL group

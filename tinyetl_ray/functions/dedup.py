@@ -140,6 +140,32 @@ def _dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
+def route_by_text_hash(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Append `_part` = content-hash(text) MOD a bounded partition count —
+    the shuffle key that co-locates ALL copies of a text in one partition,
+    so partition-local dedup / canonical-copy marking is globally correct.
+    Shared by exact_dedup and pipelines.corpus.corpus_clean (one routing
+    semantics: NULL hashes like '', partition count sized to the pool)."""
+    P = num_partitions or _shuffle_blocks() * 4
+
+    def add_keys(t: pa.Table) -> pa.Table:
+        # pd.util.hash_array: vectorized siphash with a FIXED key —
+        # deterministic across processes, and O(total bytes) for long
+        # documents.
+        s = t.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
+        h = pd.util.hash_array(s)
+        t = t.replace_schema_metadata(None)  # unhashable-schema guard
+        return t.append_column(
+            "_part", pa.array((h % np.uint64(P)).astype(np.int32))
+        )
+
+    return ds.map_batches(add_keys, batch_format="pyarrow")
+
+
 def exact_dedup(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -153,19 +179,6 @@ def exact_dedup(
     TEXT (measured 19 s for 100k docs; partition-level processing is ~3 s).
     Full-text equality decides inside the partition, so a hash collision
     can never merge distinct texts."""
-    P = num_partitions or _shuffle_blocks() * 4
-
-    def add_keys(t: pa.Table) -> pa.Table:
-        # pd.util.hash_array: vectorized siphash with a FIXED key —
-        # deterministic across processes, and O(total bytes) for long
-        # documents. All rows of one text share _part, so partition-local
-        # dedup is globally correct.
-        s = t.column(text_col).to_pandas().fillna("").to_numpy(dtype=object)
-        h = pd.util.hash_array(s)
-        t = t.replace_schema_metadata(None)  # unhashable-schema guard
-        return t.append_column(
-            "_part", pa.array((h % np.uint64(P)).astype(np.int32))
-        )
 
     def first_per_text(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(id_col, kind="mergesort")
@@ -174,7 +187,7 @@ def exact_dedup(
         )
 
     return (
-        ds.map_batches(add_keys, batch_format="pyarrow")
+        route_by_text_hash(ds, text_col=text_col, num_partitions=num_partitions)
         .groupby("_part")
         .map_groups(first_per_text, batch_format="pandas")
     )

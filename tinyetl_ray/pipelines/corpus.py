@@ -160,19 +160,23 @@ def doc_repetition(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(RepetitionStats(), batch_format="pandas")
 
 
-def contamination_flag(sf_dir: str) -> ray.data.Dataset:
-    """Benchmark-contamination check: a probe set of verbatim substrings
-    (deterministically drawn from the 3 lowest-doc_id documents — standing
-    in for eval-set n-grams) is broadcast once; every document is flagged
-    if it contains ANY probe. Near-duplicates of the probe sources get
-    flagged too — exactly the leakage this op exists to catch."""
+def _probe_pattern(sf_dir: str):
+    """The contamination probe set, shared by contamination_flag and
+    corpus_clean (single source of truth — the two ops can't drift from
+    each other or from the oracle's substr(text, 11, 30)/LIMIT 3):
+    verbatim chars [10:40) of the 3 lowest-doc_id documents, compiled into
+    one alternation. Returns None when every probe slice is empty (short
+    or NULL source texts) — then NOTHING is contaminated, matching the
+    oracle's `WHERE pat IS NOT NULL AND pat <> ''` probe filter (an empty
+    regex would instead match every document).
+
+    The bottom-3 fetch does NOT globally sort (an all-to-all of every text
+    at 10^10 docs just to fetch 3 rows): per-batch local bottom-3
+    partials, then a tiny driver-side merge of ≤ 3·n_batches rows."""
     import re as _re
 
     import pandas as pd
 
-    # bottom-3 doc_ids WITHOUT a global sort (an all-to-all of every text at
-    # 10^10 docs just to fetch 3 rows): per-batch local bottom-3 partials,
-    # then a tiny driver-side merge of ≤ 3·n_batches rows
     def bottom3(df: pd.DataFrame) -> pd.DataFrame:
         return df.nsmallest(3, "doc_id")[["doc_id", "text"]]
 
@@ -183,8 +187,19 @@ def contamination_flag(sf_dir: str) -> ray.data.Dataset:
         .to_pandas()
         .nsmallest(3, "doc_id")
     )
-    probes = [(t or "")[10:40] for t in low["text"]]
-    pat = _re.compile("|".join(_re.escape(p) for p in probes if p))
+    probes = [p for t in low["text"] if (p := (t or "")[10:40])]
+    return _re.compile("|".join(_re.escape(p) for p in probes)) if probes else None
+
+
+def contamination_flag(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark-contamination check: a probe set of verbatim substrings
+    (deterministically drawn from the 3 lowest-doc_id documents — standing
+    in for eval-set n-grams) is broadcast once; every document is flagged
+    if it contains ANY probe. Near-duplicates of the probe sources get
+    flagged too — exactly the leakage this op exists to catch."""
+    import pandas as pd
+
+    pat = _probe_pattern(sf_dir)
 
     class Flag:
         def __init__(self):
@@ -192,7 +207,10 @@ def contamination_flag(sf_dir: str) -> ray.data.Dataset:
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
             out = df[["doc_id"]].copy()
-            out["contaminated"] = df["text"].fillna("").str.contains(self.pat)
+            if self.pat is None:
+                out["contaminated"] = False
+            else:
+                out["contaminated"] = df["text"].fillna("").str.contains(self.pat)
             return out
 
     return _docs(sf_dir).map_batches(
@@ -207,7 +225,12 @@ def hash_split(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(HashSplit(), batch_format="pandas")
 
 
-def corpus_clean(sf_dir: str, dup_word_cut: float = 0.6) -> ray.data.Dataset:
+# corpus_clean's repetition cut — also the oracle's default in
+# __ray_entry__._corpus_clean_sql (imported there; single source of truth)
+DUP_WORD_CUT = 0.6
+
+
+def corpus_clean(sf_dir: str, dup_word_cut: float = DUP_WORD_CUT) -> ray.data.Dataset:
     """The composed training-data cleaning pipeline as ONE streaming flow:
     quality flags + repetition stats + contamination check run in a single
     vectorized pass per batch (no extra scans), then one text-hash shuffle
@@ -215,23 +238,9 @@ def corpus_clean(sf_dir: str, dup_word_cut: float = 0.6) -> ray.data.Dataset:
     conjunction — the per-document verdict a real corpus build would
     materialize. Value-checked against a DuckDB oracle composed from the
     same generated sub-oracles (single source of truth per component)."""
-    import re as _re
-
     import pandas as pd
 
-    def bottom3(df: pd.DataFrame) -> pd.DataFrame:
-        return df.nsmallest(3, "doc_id")[["doc_id", "text"]]
-
-    low = (
-        _docs(sf_dir)
-        .select_columns(["doc_id", "text"])
-        .map_batches(bottom3, batch_format="pandas")
-        .to_pandas()
-        .nsmallest(3, "doc_id")
-    )
-    pat = _re.compile(
-        "|".join(_re.escape((t or "")[10:40]) for t in low["text"] if (t or "")[10:40])
-    )
+    pat = _probe_pattern(sf_dir)
 
     class Flags:
         def __init__(self):
@@ -245,27 +254,25 @@ def corpus_clean(sf_dir: str, dup_word_cut: float = 0.6) -> ray.data.Dataset:
             out = df[["doc_id", "text"]].copy()
             out["quality_ok"] = q["quality_ok"].to_numpy()
             out["dup_word_ratio"] = r["dup_word_ratio"].to_numpy()
-            out["contaminated"] = (
-                df["text"].fillna("").str.contains(self.pat).to_numpy()
-            )
+            if self.pat is None:
+                out["contaminated"] = False
+            else:
+                out["contaminated"] = (
+                    df["text"].fillna("").str.contains(self.pat).to_numpy()
+                )
             return out
 
     flagged = _docs(sf_dir).map_batches(
         Flags, batch_format="pandas", concurrency=(2, 8), num_cpus=0.5
     )
 
-    # canonical-copy marking: the exact_dedup routing (text-hash % P) so all
-    # copies of a text meet in one partition — one slim shuffle total
-    P = 64
-
-    def add_keys(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(df["text"].fillna("").to_numpy(dtype=object))
-        df = df.copy(deep=False)
-        df["_part"] = (h % np.uint64(P)).astype(np.int32)
-        return df
-
     def finish(g: pd.DataFrame, cut: float = dup_word_cut) -> pd.DataFrame:
-        canonical = g["doc_id"] == g.groupby("text")["doc_id"].transform("min")
+        # dropna=False: NULL texts form ONE canonical group (distinct from
+        # ''), matching the oracle's row_number() OVER (PARTITION BY text)
+        # where SQL window partitioning groups NULLs together
+        canonical = g["doc_id"] == g.groupby("text", dropna=False)[
+            "doc_id"
+        ].transform("min")
         out = g[["doc_id", "quality_ok", "dup_word_ratio", "contaminated"]].copy()
         out["is_canonical"] = canonical.to_numpy()
         out["keep"] = (
@@ -276,8 +283,11 @@ def corpus_clean(sf_dir: str, dup_word_cut: float = 0.6) -> ray.data.Dataset:
         )
         return out
 
+    # canonical-copy marking rides exact_dedup's routing (text-hash % P,
+    # NULL routed like '') so all copies of a text meet in one partition —
+    # one slim shuffle total
     return (
-        flagged.map_batches(add_keys, batch_format="pandas")
+        dd.route_by_text_hash(flagged)
         .groupby("_part")
         .map_groups(finish, batch_format="pandas")
     )
