@@ -229,6 +229,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_customer": lambda sf: _round_cols(
             p.join_orders_customer(sf), {"revenue": 2}
         ),
+        "events_lead_lag": p.events_lead_lag,
+        "rollup_orders": p.rollup_orders,
+        "unpivot_lineitem": p.unpivot_lineitem,
+        "corr_lineitem": p.corr_lineitem,
+        "set_ops_users": p.set_ops_users,
         # --- training-data corpus ops ---
         "text_stats": c.text_stats,
         "quality_score": c.quality_score,
@@ -496,6 +501,40 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(o.o_totalprice), 2) AS revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
+        """,
+        "events_lead_lag": """
+            SELECT event_id, user_id,
+                   ROUND(LAG(value)  OVER w, 4) AS prev_value,
+                   ROUND(LEAD(value) OVER w, 4) AS next_value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "rollup_orders": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 2) AS sum_price
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "unpivot_lineitem": """
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        """,
+        "corr_lineitem": """
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+            FROM lineitem
+        """,
+        "set_ops_users": """
+            SELECT user_id, 'intersect' AS op FROM
+              (SELECT user_id FROM events INTERSECT SELECT c_custkey FROM customer)
+            UNION ALL
+            SELECT user_id, 'except' AS op FROM
+              (SELECT user_id FROM events EXCEPT SELECT c_custkey FROM customer)
         """,
         # --- corpus ops (shared definitions with tinyetl_ray.functions.text:
         # PUNCT_CLASS and whitespace-run token counting kept in lockstep) ---

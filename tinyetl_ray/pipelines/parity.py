@@ -784,3 +784,170 @@ def join_orders_customer(sf_dir: str) -> ray.data.Dataset:
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
     )
+
+
+def events_lead_lag(sf_dir: str) -> ray.data.Dataset:
+    """LAG/LEAD offset window frames: hash-partition by user, ONE sort +
+    vectorized pandas groupby.shift per partition (same partitioned-window
+    machinery as events_running_total; never a callback per key)."""
+    import pandas as pd
+
+    P = _wide_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return _with_part(df, "user_id", P)
+
+    def shift_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        grp = g.groupby("user_id", sort=False)["value"]
+        g = g.assign(
+            prev_value=grp.shift(1).round(4), next_value=grp.shift(-1).round(4)
+        )
+        return g[["event_id", "user_id", "prev_value", "next_value"]]
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(shift_part, batch_format="pandas")
+    )
+
+
+def rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority): the heavy pass is ONE distributed
+    groupby over both keys; the subtotal levels are re-aggregated from the
+    resulting fine-grained cell grid (|status| x |priority| rows — tiny by
+    construction), never from the raw rows. NULL rollup markers are the
+    'ALL' sentinel on both engine and oracle sides."""
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+
+    fine = (
+        _read(
+            sf_dir,
+            "orders",
+            columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+        )
+        .groupby(["o_orderstatus", "o_orderpriority"])
+        .aggregate(
+            Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
+        )
+        .to_pandas()  # small result: one row per (status, priority) cell
+    )
+    l1 = fine.groupby("o_orderstatus", as_index=False).agg(
+        n_orders=("n_orders", "sum"), sum_price=("sum_price", "sum")
+    )
+    l1["o_orderpriority"] = "ALL"
+    l0 = pd.DataFrame(
+        {
+            "o_orderstatus": ["ALL"],
+            "o_orderpriority": ["ALL"],
+            "n_orders": [fine["n_orders"].sum()],
+            "sum_price": [fine["sum_price"].sum()],
+        }
+    )
+    out = pd.concat([fine, l1, l0], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_price"] = out["sum_price"].round(2)
+    return out[["o_orderstatus", "o_orderpriority", "n_orders", "sum_price"]]
+
+
+def unpivot_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """UNPIVOT / melt wide metric columns into long (metric, value) form —
+    a pure per-batch explode (pandas melt, C-speed), no shuffle at all."""
+    import pandas as pd
+
+    METRICS = ["l_quantity", "l_discount", "l_tax"]
+
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.melt(
+            id_vars=["l_orderkey", "l_linenumber"],
+            value_vars=METRICS,
+            var_name="metric",
+            value_name="value",
+        )
+
+    return _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"] + METRICS
+    ).map_batches(melt, batch_format="pandas")
+
+
+def corr_lineitem(sf_dir: str) -> ray.data.Dataset:
+    """Distributed Pearson correlation: ONE streaming pass of per-batch
+    moment partials (n, Σx, Σy, Σxx, Σyy, Σxy) + a tiny global reduce —
+    the canonical two-variable streaming aggregate (no driver row loop,
+    nothing materialized but the 6-number partials)."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy()
+        y = df["l_extendedprice"].to_numpy()
+        return pd.DataFrame(
+            {
+                "_g": [0],
+                "n": [float(len(x))],
+                "sx": [x.sum()],
+                "sy": [y.sum()],
+                "sxx": [(x * x).sum()],
+                "syy": [(y * y).sum()],
+                "sxy": [(x * y).sum()],
+            }
+        )
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].sum()
+        sx, sy = g["sx"].sum(), g["sy"].sum()
+        cov = g["sxy"].sum() - sx * sy / n
+        vx = g["sxx"].sum() - sx * sx / n
+        vy = g["syy"].sum() - sy * sy / n
+        corr = cov / np.sqrt(vx * vy)
+        return pd.DataFrame(
+            {"n": [np.int64(n)], "corr_qty_price": [round(float(corr), 6)]}
+        )
+
+    return (
+        _read(sf_dir, "lineitem", columns=["l_quantity", "l_extendedprice"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("_g")
+        .map_groups(finalize, batch_format="pandas")
+    )
+
+
+def set_ops_users(sf_dir: str) -> ray.data.Dataset:
+    """INTERSECT / EXCEPT in one pipeline: the small customer keyset is
+    broadcast once (ray.put, read per actor), each events batch is
+    pre-distincted and membership-tagged inside map_batches, and only slim
+    (user_id, op) pairs reach the final distinct groupby — the big side
+    never shuffles raw rows. `op` is a pure function of user_id, so the
+    (user_id, op) distinct equals DISTINCT user_id with its set-op label."""
+    import numpy as np
+    from ray.data.aggregate import Count
+
+    cust = np.sort(
+        _read(sf_dir, "customer", columns=["c_custkey"])
+        .to_pandas()["c_custkey"]
+        .to_numpy(dtype=np.int64)
+    )
+    ref = ray.put(cust)
+
+    class Tag:
+        def __init__(self):
+            self.keys = ray.get(ref)  # once per actor
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            u = np.unique(t.column("user_id").to_numpy())  # partial distinct
+            idx = np.clip(np.searchsorted(self.keys, u), 0, len(self.keys) - 1)
+            hit = self.keys[idx] == u
+            op = np.where(hit, "intersect", "except")
+            return pa.table(
+                {"user_id": pa.array(u, pa.int64()), "op": pa.array(op, pa.string())}
+            )
+
+    return (
+        _read(sf_dir, "events", columns=["user_id"])
+        .map_batches(Tag, batch_format="pyarrow", concurrency=2, num_cpus=0.5)
+        .groupby(["user_id", "op"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["user_id", "op"]), batch_format="pyarrow")
+    )
