@@ -234,6 +234,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": p.unpivot_lineitem,
         "corr_lineitem": p.corr_lineitem,
         "set_ops_users": p.set_ops_users,
+        "string_agg_event_types": p.string_agg_event_types,
+        "mode_event_type": p.mode_event_type,
+        "ngram_topk": c.ngram_topk,
         # --- training-data corpus ops ---
         "text_stats": c.text_stats,
         "quality_score": c.quality_score,
@@ -535,6 +538,35 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT user_id, 'except' AS op FROM
               (SELECT user_id FROM events EXCEPT SELECT c_custkey FROM customer)
+        """,
+        "string_agg_event_types": """
+            SELECT user_id,
+                   string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+                     AS event_types
+            FROM events GROUP BY user_id
+        """,
+        "mode_event_type": """
+            SELECT user_id, event_type AS mode_event_type, n FROM (
+              SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY count(*) DESC, event_type) AS rn
+              FROM events GROUP BY user_id, event_type
+            ) WHERE rn = 1
+        """,
+        # tokenizer kept in lockstep with _DOC_REPETITION_SQL / RepetitionStats
+        "ngram_topk": r"""
+            WITH t AS (
+              SELECT regexp_extract_all(lower(coalesce(text, '')), '\w+') AS toks
+              FROM documents
+            ), bg AS (
+              SELECT unnest(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i + 1]))
+                       AS bigram
+              FROM t WHERE len(toks) >= 2
+            )
+            SELECT bigram, CAST(count(*) AS BIGINT) AS n
+            FROM bg GROUP BY bigram
+            ORDER BY n DESC, bigram LIMIT 20
         """,
         # --- corpus ops (shared definitions with tinyetl_ray.functions.text:
         # PUNCT_CLASS and whitespace-run token counting kept in lockstep) ---

@@ -467,3 +467,37 @@ def multimodal_features(sf_dir: str) -> ray.data.Dataset:
         return pa.table(cols)
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def ngram_topk(sf_dir: str, k: int = 20) -> ray.data.Dataset:
+    """Corpus-level top-k bigrams: per-batch PARTIAL counts (exploded token
+    stream, pandas value_counts — C-speed), a distributed groupby sum over
+    slim (bigram, c) rows, then a global sort + limit on the already-reduced
+    count table (|distinct bigrams| rows, never the raw token stream).
+    Tokenizer kept in lockstep with RepetitionStats / the oracle's
+    regexp_extract_all('\\w+') — ties broken by bigram text so the top-k
+    cut is deterministic."""
+    import re
+
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    word_re = re.compile(r"\w+", re.ASCII)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].fillna("").str.lower().str.findall(word_re)
+        flat = toks.explode().dropna()
+        nxt = flat.groupby(level=0).shift(-1)
+        bigrams = (flat + " " + nxt).dropna()
+        cnt = bigrams.value_counts()
+        return pd.DataFrame({"bigram": cnt.index, "c": cnt.to_numpy()})
+
+    return (
+        _docs(sf_dir)
+        .select_columns(["text"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("bigram")
+        .aggregate(Sum("c", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+    )

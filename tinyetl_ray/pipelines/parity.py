@@ -951,3 +951,61 @@ def set_ops_users(sf_dir: str) -> ray.data.Dataset:
         .aggregate(Count(alias_name="_n"))
         .map_batches(lambda t: t.select(["user_id", "op"]), batch_format="pyarrow")
     )
+
+
+def string_agg_event_types(sf_dir: str) -> ray.data.Dataset:
+    """Ordered-distinct string aggregation per group (string_agg DISTINCT
+    ... ORDER BY): hash-partition by user, ONE vectorized pass per
+    partition — drop_duplicates + sort + groupby.join, no per-key callback."""
+    import pandas as pd
+
+    P = _wide_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return _with_part(df, "user_id", P)
+
+    def agg_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "event_type"]).sort_values(
+            ["user_id", "event_type"], kind="mergesort"
+        )
+        out = g.groupby("user_id", sort=False)["event_type"].agg(",".join)
+        return out.rename("event_types").reset_index()
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "event_type"])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(agg_part, batch_format="pandas")
+    )
+
+
+def mode_event_type(sf_dir: str) -> ray.data.Dataset:
+    """Per-group mode (most frequent value, lexicographic tie-break): the
+    heavy pass is the distributed (user, type) count groupby; the argmax is
+    one vectorized sort + drop_duplicates over the reduced count table."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    def argmax_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "n", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).drop_duplicates("user_id")
+        return g.rename(columns={"event_type": "mode_event_type"})[
+            ["user_id", "mode_event_type", "n"]
+        ]
+
+    P = _wide_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return _with_part(df, "user_id", P)
+
+    return (
+        _read(sf_dir, "events", columns=["user_id", "event_type"])
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(argmax_part, batch_format="pandas")
+    )
