@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": p.unpivot_lineitem,
         "corr_lineitem": p.corr_lineitem,
         "set_ops_users": p.set_ops_users,
+        "events_rolling_1h": p.events_rolling_1h,
         "string_agg_event_types": p.string_agg_event_types,
         "mode_event_type": p.mode_event_type,
         "ngram_topk": c.ngram_topk,
@@ -538,6 +539,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT user_id, 'except' AS op FROM
               (SELECT user_id FROM events EXCEPT SELECT c_custkey FROM customer)
+        """,
+        "events_rolling_1h": """
+            SELECT event_id, user_id,
+                   ROUND(SUM(value) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                   ), 4) AS rolling_value
+            FROM events
         """,
         "string_agg_event_types": """
             SELECT user_id,

@@ -154,3 +154,40 @@ def test_corpus_clean_planted_corpus(case, rows, tmp_path):
         assert not clean.loc[7, "is_canonical"]
         assert clean.loc[4, "is_canonical"] and not clean.loc[5, "is_canonical"]
         assert clean.loc[6, "is_canonical"]  # '' is NOT the NULL group
+
+
+def test_rolling_1h_range_frame_tie_semantics(tmp_path):
+    """SQL RANGE frames include ALL peer rows sharing the current ORDER BY
+    value — planted duplicate (user, ts) rows must each see the other's
+    value in their window (the collapse-and-merge-back path)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    d = tmp_path / "sf_ties"
+    d.mkdir()
+    t0 = pd.Timestamp("2026-01-01 00:00:00")
+    t = pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "ts": pa.array([t0, t0, t0 + pd.Timedelta("30min"),
+                        t0 + pd.Timedelta("75min"), t0 + pd.Timedelta("30min"),
+                        t0 + pd.Timedelta("150min")], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["a"] * 6, pa.string()),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0, 32.0], pa.float64()),
+        "props": pa.array(["{}"] * 6, pa.string()),
+    })
+    pq.write_table(t, str(d / "events.parquet"))
+    con2 = duckdb.connect()
+    con2.sql(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{d / 'events.parquet'}')"
+    )
+    got = _to_pandas(e.queries()["events_rolling_1h"](str(d)))
+    want = con2.sql(e.oracle_sql()["events_rolling_1h"]).df()
+    pd.testing.assert_frame_equal(_normalize(got), _normalize(want), check_dtype=False)
+    by_id = got.set_index("event_id")["rolling_value"]
+    # the two ts-tied rows (ids 2 and 4) are peers: both windows contain both
+    assert by_id[2] == by_id[4] == 1.0 + 2.0 + 4.0 + 16.0

@@ -1009,3 +1009,42 @@ def mode_event_type(sf_dir: str) -> ray.data.Dataset:
         .groupby("_part")
         .map_groups(argmax_part, batch_format="pandas")
     )
+
+
+def events_rolling_1h(sf_dir: str) -> ray.data.Dataset:
+    """RANGE-frame rolling time-window aggregate (SUM over the trailing
+    closed hour [t-1h, t] per user): hash-partition by user, then per
+    partition ONE sort + pandas time-based groupby.rolling (Cython).
+    SQL RANGE frames include ALL peer rows sharing the current ORDER BY
+    value, so equal-(user, ts) rows are collapsed first (the window sum is
+    a pure function of (user, ts)) and the result mapped back by merge —
+    tie semantics then match the oracle exactly."""
+    import pandas as pd
+
+    P = _wide_parts()
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        return _with_part(df, "user_id", P)
+
+    def rolling_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        col = (
+            g.groupby(["user_id", "ts"], sort=False)["value"]
+            .sum()
+            .reset_index()
+        )
+        r = (
+            col.groupby("user_id", sort=False)
+            .rolling("3600s", on="ts", closed="both")["value"]
+            .sum()
+        )
+        col["rolling_value"] = r.round(4).to_numpy()
+        out = g.merge(col[["user_id", "ts", "rolling_value"]], on=["user_id", "ts"])
+        return out[["event_id", "user_id", "rolling_value"]]
+
+    return (
+        _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("_part")
+        .map_groups(rolling_part, batch_format="pandas")
+    )
