@@ -234,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": p.unpivot_lineitem,
         "corr_lineitem": p.corr_lineitem,
         "set_ops_users": p.set_ops_users,
+        "q3_shipping_priority": p.q3_shipping_priority,
         "events_rolling_1h": p.events_rolling_1h,
         "string_agg_event_types": p.string_agg_event_types,
         "mode_event_type": p.mode_event_type,
@@ -539,6 +540,20 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT user_id, 'except' AS op FROM
               (SELECT user_id FROM events EXCEPT SELECT c_custkey FROM customer)
+        """,
+        # ordered by the ROUNDED revenue so the top-10 cut and tie-breaks
+        # are identical on both sides
+        "q3_shipping_priority": """
+            SELECT l_orderkey, o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate  > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderdate, l_orderkey
+            LIMIT 10
         """,
         "events_rolling_1h": """
             SELECT event_id, user_id,

@@ -1048,3 +1048,78 @@ def events_rolling_1h(sf_dir: str) -> ray.data.Dataset:
         .groupby("_part")
         .map_groups(rolling_part, batch_format="pandas")
     )
+
+
+def q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H Q3-style three-table composition: BUILDING customers ⋈ orders
+    ⋈ lineitem, revenue per order, top 10. The two small sides (filtered
+    customer keyset, then filtered orders) are each broadcast ONCE via
+    ray.put and probed with sorted-array searchsorted inside map_batches —
+    the big lineitem side streams with l_shipdate/column pruning at the
+    read and never shuffles raw rows; only the reduced per-order revenue
+    table is grouped + sorted."""
+    import numpy as np
+    import pandas as pd
+
+    CUTOFF = np.datetime64("1998-06-01T00:00:00", "us")
+
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+    )
+    bkeys = np.sort(
+        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(np.int64)
+    )
+    orders = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .to_pandas()
+    )
+    odate = orders["o_orderdate"].to_numpy("datetime64[us]")
+    okey = orders["o_custkey"].to_numpy(np.int64)
+    idx = np.clip(np.searchsorted(bkeys, okey), 0, max(len(bkeys) - 1, 0))
+    keep = (odate < CUTOFF) & (len(bkeys) > 0) & (bkeys[idx] == okey)
+    sel = orders.loc[keep].sort_values("o_orderkey")
+    okeys_sorted = sel["o_orderkey"].to_numpy(np.int64)
+    odates = sel["o_orderdate"].to_numpy("datetime64[us]")
+    ref = ray.put((okeys_sorted, odates))
+
+    class OrderJoin:
+        def __init__(self):
+            self.okeys, self.odates = ray.get(ref)  # once per actor
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            df = df[df["l_shipdate"].to_numpy("datetime64[us]") > CUTOFF]
+            lk = df["l_orderkey"].to_numpy(np.int64)
+            i = np.clip(np.searchsorted(self.okeys, lk), 0, max(len(self.okeys) - 1, 0))
+            hit = (len(self.okeys) > 0) & (self.okeys[i] == lk)
+            df = df.loc[hit]
+            rev = (
+                df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy())
+            )
+            return pd.DataFrame(
+                {
+                    "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                    "o_orderdate": self.odates[i[hit]],
+                    "revenue": rev,
+                }
+            )
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(OrderJoin, batch_format="pandas", concurrency=2, num_cpus=0.5)
+        .groupby(["l_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .map_batches(
+            lambda df: df.assign(revenue=df["revenue"].round(2)),
+            batch_format="pandas",
+        )
+        .sort(["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False])
+        .limit(10)
+    )
+    return out
