@@ -467,11 +467,14 @@ def _anti_join_ids_bucketed(
 BROADCAST_PAIR_LIMIT = 2_000_000
 
 
-def _broadcast_prune_ok(pairs: ray.data.Dataset) -> bool:
-    """True when the candidate-pair id set is small enough to broadcast.
-    ``pairs`` is materialized by every caller, so count() is a metadata
-    lookup, not an execution."""
-    return pairs.count() <= BROADCAST_PAIR_LIMIT
+def _broadcast_prune_ok(pairs: ray.data.Dataset) -> tuple[ray.data.Dataset, bool]:
+    """Returns (pairs, small_enough_to_broadcast). Materializes defensively
+    first — a no-op for every in-repo caller (all pass materialized pair
+    sets) but guarantees an external caller passing a LAZY dataset pays the
+    candidate pipeline ONCE, not once for this count and again for the
+    verify join."""
+    pairs = pairs.materialize()
+    return pairs, pairs.count() <= BROADCAST_PAIR_LIMIT
 
 
 def verify_jaccard_pairs(
@@ -495,7 +498,8 @@ def verify_jaccard_pairs(
     broadcast is skipped and join (1) itself drops non-candidate gram rows
     in-bucket — correct either way, never a driver-side id gather at scale."""
     P = _shuffle_blocks() * 4
-    if _broadcast_prune_ok(pairs):
+    pairs, small = _broadcast_prune_ok(pairs)
+    if small:
         docs = _semi_join_ids(docs, _candidate_id_set(pairs), "doc_id")
     grams = docs.map_batches(GramSigs(shingle_k), batch_format="pyarrow")
 
@@ -1161,7 +1165,8 @@ def verify_cosine_pairs(
     vectors itself, no driver id gather); the fixed vector dimension makes
     the final per-pair dot product ONE einsum over the whole partition."""
     P = _shuffle_blocks() * 4
-    if _broadcast_prune_ok(pairs):
+    pairs, small = _broadcast_prune_ok(pairs)
+    if small:
         ds = _semi_join_ids(ds, _candidate_id_set(pairs), id_col)
 
     def side_rows(t: pa.Table) -> pa.Table:

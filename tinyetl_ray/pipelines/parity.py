@@ -49,6 +49,19 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
     )
 
 
+def _keyset(ds: ray.data.Dataset, col: str):
+    """Gather one int64 column to a SORTED numpy array for a ray.put
+    broadcast. Empty-safe: Ray's to_pandas() on a fully-empty dataset drops
+    the schema (0×0 frame), so an absent column means zero keys — return an
+    empty array instead of KeyError (round-3 advice)."""
+    import numpy as np
+
+    df = ds.to_pandas()
+    if col not in df.columns or not len(df):
+        return np.empty(0, np.int64)
+    return np.sort(df[col].to_numpy(np.int64))
+
+
 def transform_derive(sf_dir: str) -> ray.data.Dataset:
     """Inline-expression transform (Lua inline-mode parity): derived columns
     over customer — reference README:855-860 employees example shape."""
@@ -342,21 +355,43 @@ def hash_join_native(sf_dir: str) -> ray.data.Dataset:
     return j.select_columns(["o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment"])
 
 
+ASOF_BROADCAST_ROW_LIMIT = int(
+    os.environ.get("TINYETL_ASOF_BROADCAST_ROWS", 5_000_000)
+)
+"""Build-side row cap for the broadcast as-of variant: 5M (key, date)
+int64 pairs ≈ 80 MB in the object store — comfortably one-`ray.put`
+territory. Past it, asof_join_events_orders self-selects the
+hash-co-partitioned variant (same semantics, same oracle). Mirrors the
+BROADCAST_PAIR_LIMIT gate in functions/dedup.py."""
+
+
 def asof_join_events_orders(sf_dir: str) -> ray.data.Dataset:
     """AS-OF JOIN (custom operator — Ray Data has none): for every event,
     the latest order date of the matching customer at-or-before the event
     time.
 
-    Strategy: the orders side is SMALL per key — broadcast {custkey →
-    sorted order-date array} once via ray.put; each batch answers with one
-    vectorized np.searchsorted per key-run. No shuffle at all. When BOTH
-    sides are large, the same kernel runs inside groupby(key).map_groups
-    after bucketing (partitioning assumption: all rows of a key share a
-    bucket)."""
+    SELF-SELECTING strategy: a cheap metadata count of the build (orders)
+    side picks the mode. Under ASOF_BROADCAST_ROW_LIMIT rows the {custkey →
+    sorted order-date} frame is broadcast ONCE via ray.put and each batch
+    answers with one C-speed pd.merge_asof — zero shuffle. Past the limit
+    it delegates to asof_join_partitioned (both sides hash-co-partitioned
+    on the key); both modes are oracle-checked against the same SQL."""
     import numpy as np
     import pandas as pd
 
+    import pyarrow.parquet as pq
+
+    n_orders = pq.ParquetFile(
+        os.path.join(sf_dir, "orders.parquet")
+    ).metadata.num_rows  # footer-only, no scan
+    if n_orders > ASOF_BROADCAST_ROW_LIMIT:
+        return asof_join_partitioned(sf_dir)
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).to_pandas()
+    if "o_custkey" not in orders.columns:  # empty dataset loses its schema
+        orders = pd.DataFrame(
+            {"o_custkey": pd.Series([], dtype="int64"),
+             "o_orderdate": pd.Series([], dtype="datetime64[us]")}
+        )
     od = pd.DataFrame(
         {
             "key": orders["o_custkey"].to_numpy(np.int64),
@@ -924,11 +959,7 @@ def set_ops_users(sf_dir: str) -> ray.data.Dataset:
     import numpy as np
     from ray.data.aggregate import Count
 
-    cust = np.sort(
-        _read(sf_dir, "customer", columns=["c_custkey"])
-        .to_pandas()["c_custkey"]
-        .to_numpy(dtype=np.int64)
-    )
+    cust = _keyset(_read(sf_dir, "customer", columns=["c_custkey"]), "c_custkey")
     ref = ray.put(cust)
 
     class Tag:
@@ -937,8 +968,11 @@ def set_ops_users(sf_dir: str) -> ray.data.Dataset:
 
         def __call__(self, t: pa.Table) -> pa.Table:
             u = np.unique(t.column("user_id").to_numpy())  # partial distinct
-            idx = np.clip(np.searchsorted(self.keys, u), 0, len(self.keys) - 1)
-            hit = self.keys[idx] == u
+            if len(self.keys):
+                idx = np.clip(np.searchsorted(self.keys, u), 0, len(self.keys) - 1)
+                hit = self.keys[idx] == u
+            else:  # empty customer table → everything is 'except'
+                hit = np.zeros(len(u), bool)
             op = np.where(hit, "intersect", "except")
             return pa.table(
                 {"user_id": pa.array(u, pa.int64()), "op": pa.array(op, pa.string())}
@@ -1052,74 +1086,132 @@ def events_rolling_1h(sf_dir: str) -> ray.data.Dataset:
 
 def q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q3-style three-table composition: BUILDING customers ⋈ orders
-    ⋈ lineitem, revenue per order, top 10. The two small sides (filtered
-    customer keyset, then filtered orders) are each broadcast ONCE via
-    ray.put and probed with sorted-array searchsorted inside map_batches —
-    the big lineitem side streams with l_shipdate/column pruning at the
-    read and never shuffles raw rows; only the reduced per-order revenue
-    table is grouped + sorted."""
+    ⋈ lineitem, revenue per order, top 10.
+
+    Scale shape: the ONLY broadcast is the (tiny) BUILDING custkey set —
+    reduced distributedly, only int64 keys reach the driver. Both fact
+    tables stream: orders is filtered (date + keyset membership) and
+    slimmed to (o_orderkey, o_orderdate) inside map_batches; lineitem is
+    filtered on l_shipdate and PRE-AGGREGATED to partial per-orderkey
+    revenue sums inside each batch. The two slim streams then meet in a
+    co-partitioned hash join on l_orderkey (key % P — all rows of one
+    orderkey share a partition), each partition resolved with one
+    vectorized pandas merge + groupby-sum and cut to its local top 10;
+    only P×10 candidate rows reach the final global sort. No driver-side
+    materialization of any fact table at any scale."""
     import numpy as np
     import pandas as pd
 
     CUTOFF = np.datetime64("1998-06-01T00:00:00", "us")
+    P = _wide_parts()
 
-    cust = (
+    # distributed reduction to the BUILDING keyset; only keys hit the driver
+    def building_keys(t: pa.Table) -> pa.Table:
+        m = pc.equal(t.column("c_mktsegment"), "BUILDING")
+        return t.filter(m).select(["c_custkey"])
+
+    bkeys = _keyset(
         _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-        .to_pandas()
+        .map_batches(building_keys, batch_format="pyarrow"),
+        "c_custkey",
     )
-    bkeys = np.sort(
-        cust.loc[cust["c_mktsegment"] == "BUILDING", "c_custkey"].to_numpy(np.int64)
-    )
-    orders = (
-        _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
-        .to_pandas()
-    )
-    odate = orders["o_orderdate"].to_numpy("datetime64[us]")
-    okey = orders["o_custkey"].to_numpy(np.int64)
-    idx = np.clip(np.searchsorted(bkeys, okey), 0, max(len(bkeys) - 1, 0))
-    keep = (odate < CUTOFF) & (len(bkeys) > 0) & (bkeys[idx] == okey)
-    sel = orders.loc[keep].sort_values("o_orderkey")
-    okeys_sorted = sel["o_orderkey"].to_numpy(np.int64)
-    odates = sel["o_orderdate"].to_numpy("datetime64[us]")
-    ref = ray.put((okeys_sorted, odates))
+    bref = ray.put(bkeys)
 
-    class OrderJoin:
+    class OrderFilter:
+        """orders → slim (key, _part, od, rev=NaN, is_order=True) stream."""
+
         def __init__(self):
-            self.okeys, self.odates = ray.get(ref)  # once per actor
+            self.bkeys = ray.get(bref)  # once per actor
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            df = df[df["l_shipdate"].to_numpy("datetime64[us]") > CUTOFF]
-            lk = df["l_orderkey"].to_numpy(np.int64)
-            i = np.clip(np.searchsorted(self.okeys, lk), 0, max(len(self.okeys) - 1, 0))
-            hit = (len(self.okeys) > 0) & (self.okeys[i] == lk)
-            df = df.loc[hit]
-            rev = (
-                df["l_extendedprice"].to_numpy() * (1 - df["l_discount"].to_numpy())
-            )
+            ok = df["o_custkey"].to_numpy(np.int64)
+            if len(self.bkeys):
+                i = np.searchsorted(self.bkeys, ok)
+                i = np.clip(i, 0, len(self.bkeys) - 1)
+                hit = self.bkeys[i] == ok
+            else:
+                hit = np.zeros(len(ok), bool)
+            keep = hit & (df["o_orderdate"].to_numpy("datetime64[us]") < CUTOFF)
+            key = df["o_orderkey"].to_numpy(np.int64)[keep]
             return pd.DataFrame(
                 {
-                    "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
-                    "o_orderdate": self.odates[i[hit]],
-                    "revenue": rev,
+                    "key": key,
+                    "_part": (key.astype(np.uint64) % np.uint64(P)).astype(np.int32),
+                    "od": df["o_orderdate"].to_numpy("datetime64[us]")[keep]
+                    .astype("int64"),
+                    "rev": np.full(keep.sum(), np.nan),
+                    "is_order": np.ones(int(keep.sum()), bool),
                 }
             )
 
-    from ray.data.aggregate import Sum
+    def lineitem_partial(df: pd.DataFrame) -> pd.DataFrame:
+        # filter + combine: partial revenue sum per orderkey within the batch
+        keep = df["l_shipdate"].to_numpy("datetime64[us]") > CUTOFF
+        key = df["l_orderkey"].to_numpy(np.int64)[keep]
+        rev = (
+            df["l_extendedprice"].to_numpy()[keep]
+            * (1 - df["l_discount"].to_numpy()[keep])
+        )
+        part = pd.DataFrame({"key": key, "rev": rev}).groupby("key", as_index=False)[
+            "rev"
+        ].sum()
+        k = part["key"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "key": k,
+                "_part": (k.astype(np.uint64) % np.uint64(P)).astype(np.int32),
+                "od": np.full(len(k), -1, np.int64),
+                "rev": part["rev"].to_numpy(),
+                "is_order": np.zeros(len(k), bool),
+            }
+        )
 
-    out = (
-        _read(
-            sf_dir,
-            "lineitem",
-            columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    od = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(OrderFilter, batch_format="pandas", concurrency=2, num_cpus=0.5)
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(lineitem_partial, batch_format="pandas")
+
+    EMPTY = pd.DataFrame(
+        {
+            "l_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[ns]"),
+            "revenue": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def resolve_part(g: pd.DataFrame) -> pd.DataFrame:
+        ords = g[g["is_order"]]
+        lps = g[~g["is_order"]]
+        if not len(ords) or not len(lps):
+            return EMPTY
+        rev = lps.groupby("key", as_index=False)["rev"].sum()
+        j = ords[["key", "od"]].merge(rev, on="key", how="inner")
+        if not len(j):
+            return EMPTY
+        out = pd.DataFrame(
+            {
+                "l_orderkey": j["key"].to_numpy(np.int64),
+                "o_orderdate": pd.to_datetime(j["od"], unit="us"),
+                "revenue": j["rev"].round(2).to_numpy(),
+            }
         )
-        .map_batches(OrderJoin, batch_format="pandas", concurrency=2, num_cpus=0.5)
-        .groupby(["l_orderkey", "o_orderdate"])
-        .aggregate(Sum("revenue", alias_name="revenue"))
-        .map_batches(
-            lambda df: df.assign(revenue=df["revenue"].round(2)),
-            batch_format="pandas",
-        )
+        # local top-10 under the SAME total order as the global cut — any
+        # global top-10 row is necessarily in its partition's top-10
+        out = out.sort_values(
+            ["revenue", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+            kind="mergesort",
+        ).head(10)
+        return out
+
+    return (
+        od.union(li)
+        .groupby("_part")
+        .map_groups(resolve_part, batch_format="pandas")
         .sort(["revenue", "o_orderdate", "l_orderkey"], descending=[True, False, False])
         .limit(10)
     )
-    return out
