@@ -61,6 +61,38 @@ def _atomic_write_bytes(path: str, data: bytes) -> None:
                 pass
 
 
+class _Fingerprint:
+    """Chunking-INVARIANT snapshot content fingerprint (round-3 advice):
+    one running sha256 per hashed column (conv_id key-hash, turn_idx, lsn),
+    fed chunk by chunk — concatenating chunk bytes equals hashing the whole
+    column, so the digest depends only on the row stream, never on which
+    writer ran (write_snapshot vs write_snapshot_chunks) or on
+    TINYETL_SPILL_MERGE_* chunk settings. Finalized in a fixed order with
+    the row count first."""
+
+    def __init__(self):
+        self._conv = hashlib.sha256()
+        self._turn = hashlib.sha256()
+        self._lsn = hashlib.sha256()
+        self._rows = 0
+
+    def update(self, t: pa.Table) -> None:
+        from ..hashing import hash_strings
+
+        self._rows += len(t)
+        self._conv.update(hash_strings(t.column("conv_id")).tobytes())
+        self._turn.update(t.column("turn_idx").to_numpy().tobytes())
+        self._lsn.update(t.column("lsn").to_numpy().tobytes())
+
+    def hexdigest(self) -> str:
+        h = hashlib.sha256()
+        h.update(str(self._rows).encode())
+        h.update(self._conv.digest())
+        h.update(self._turn.digest())
+        h.update(self._lsn.digest())
+        return h.hexdigest()
+
+
 def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str, Any]:
     """Write one partition's epoch snapshot atomically; return its manifest.
 
@@ -81,16 +113,9 @@ def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str
             except OSError:
                 pass
     lsns = table.column("lsn").to_numpy() if len(table) else []
-    content_hash = hashlib.sha256()
-    # fingerprint over the sorted (key-hash, turn, lsn) stream — vectorized,
-    # deterministic, no string reprs of big columns
-    content_hash.update(str(len(table)).encode())
+    fp = _Fingerprint()
     if len(table):
-        from ..hashing import hash_strings
-
-        content_hash.update(hash_strings(table.column("conv_id")).tobytes())
-        content_hash.update(table.column("turn_idx").to_numpy().tobytes())
-        content_hash.update(table.column("lsn").to_numpy().tobytes())
+        fp.update(table)
     ops = table.column("op") if "op" in table.column_names else None
     n_del = 0
     if ops is not None and len(table):
@@ -109,7 +134,7 @@ def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str
         # per-partition turn bound: lets conversation-level lookups
         # enumerate candidate turn-blocks instead of scanning every file
         "max_turn_idx": int(max(turns)) if len(table) else -1,
-        "content_hash": content_hash.hexdigest(),
+        "content_hash": fp.hexdigest(),
     }
 
 
@@ -120,23 +145,17 @@ def write_snapshot_chunks(
     key-range-ordered chunks, writing parquet row groups incrementally so a
     partition's state never has to fit in one task's memory (the spill-safe
     merge path — see cdc._sorted_run_merge_chunks). Same atomic
-    write-then-rename and the same manifest shape.
-
-    The content fingerprint accumulates per chunk, so it is
-    chunking-dependent: identical REPLAYS produce identical chunking (row
-    counts and thresholds are deterministic) and therefore identical
-    fingerprints, which is the property the idempotence checks rely on;
-    fingerprints are not comparable across different chunk-size settings.
+    write-then-rename and the same manifest shape; the _Fingerprint scheme
+    makes the content_hash identical to write_snapshot's for the same row
+    stream regardless of chunk boundaries.
     """
     import pyarrow.compute as pc
-
-    from ..hashing import hash_strings
 
     path = snapshot_path(root, pid, epoch)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".tmp-", suffix=".parquet")
     os.close(fd)
-    h = hashlib.sha256()
+    fp = _Fingerprint()
     rows = 0
     n_del = 0
     lsn_max = -1
@@ -157,10 +176,7 @@ def write_snapshot_chunks(
                     )
                 lsn_max = max(lsn_max, int(pc.max(t.column("lsn")).as_py()))
                 turn_max = max(turn_max, int(pc.max(t.column("turn_idx")).as_py()))
-                h.update(hash_strings(t.column("conv_id")).tobytes())
-                h.update(t.column("turn_idx").to_numpy().tobytes())
-                h.update(t.column("lsn").to_numpy().tobytes())
-        h.update(str(rows).encode())
+                fp.update(t)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
@@ -177,7 +193,7 @@ def write_snapshot_chunks(
         "live_rows": rows - int(n_del),
         "lsn_watermark": lsn_max,
         "max_turn_idx": turn_max,
-        "content_hash": h.hexdigest(),
+        "content_hash": fp.hexdigest(),
     }
 
 
