@@ -736,6 +736,16 @@ def repartition_table(
             AddPartitionId(num_partitions, turn_block), batch_format="pyarrow"
         )
 
+        # Memory note: groupby().map_groups hands each DESTINATION partition
+        # to its task as one in-memory table — the migration's peak heap is
+        # one destination partition (same P-sizing rule as the replay
+        # merge's in-memory path). The chunked writer below removes the
+        # SECOND whole-partition buffer (pq.write_table's) by streaming
+        # row groups; a partition that cannot fit a worker's heap at all
+        # must be migrated in two hops (src → intermediate larger P → dst)
+        # since Ray's group shuffle has no spill-to-disk group iterator.
+        chunk_rows = SPILL_MERGE_CHUNK_ROWS
+
         def _write(
             group: pa.Table,
             root: str = dst_root,
@@ -745,7 +755,13 @@ def repartition_table(
             t = finalize_payload(
                 group.drop_columns([PARTITION_COL]), drop_cols=()
             )
-            man = mf.write_snapshot(root, pid, 0, t)
+            man = mf.write_snapshot_chunks(
+                root,
+                pid,
+                0,
+                (t.slice(o, chunk_rows) for o in range(0, max(len(t), 1), chunk_rows)),
+                t.schema,
+            )
             man["lsn_watermark"] = max(int(man["lsn_watermark"]), floor)
             return pa.table({k: [man[k]] for k in man})
 

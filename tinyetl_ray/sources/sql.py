@@ -96,12 +96,24 @@ def _check_ident(name: str) -> str:
 
 
 def _detect_paramstyle(conn) -> str:
-    """DBAPI paramstyle is a MODULE attribute; infer the module from the
-    connection object (sqlite3 → qmark, psycopg2/MySQLdb → format/pyformat)."""
+    """DBAPI paramstyle is a MODULE attribute; infer it from the connection.
+    Checks (most→least specific): a ``paramstyle`` attribute on the
+    connection itself (a real DBAPI conn has none — lets test doubles and
+    wrappers carry their style), then each module on the connection class's
+    dotted path from leaf to top package (psycopg2 connections live in
+    ``psycopg2.extensions`` but the attribute sits on ``psycopg2``)."""
     import sys
 
-    mod = sys.modules.get(type(conn).__module__.split(".")[0])
-    return getattr(mod, "paramstyle", "qmark") if mod else "qmark"
+    style = getattr(conn, "paramstyle", None)
+    if isinstance(style, str):
+        return style
+    parts = type(conn).__module__.split(".")
+    for i in range(len(parts), 0, -1):
+        mod = sys.modules.get(".".join(parts[:i]))
+        style = getattr(mod, "paramstyle", None) if mod else None
+        if isinstance(style, str):
+            return style
+    return "qmark"
 
 
 def _placeholder(style: str) -> str:
@@ -294,12 +306,27 @@ def read_table_keyset(
     return ray.data.read_parquet(spill)
 
 
-def create_table_sql(table: str, df: pd.DataFrame, dialect: str = "generic") -> str:
+def create_table_sql(
+    table: str,
+    df: pd.DataFrame,
+    dialect: str = "generic",
+    decimal_cols: dict[str, tuple[int, int]] | None = None,
+) -> str:
+    """``decimal_cols`` maps column → (precision, scale) for exact DECIMAL
+    DDL — the reference keeps Decimal as a first-class internal type
+    (schema.rs:376-386) and its MySQL target maps it to DECIMAL(65,30)
+    (mysql.rs:390); this engine is float64 end-to-end (the reference's own
+    Arrow boundary, schema.rs:29) EXCEPT where a caller opts a money column
+    into fixed-point fidelity here."""
     types = _DIALECT_TYPES.get(dialect, _DIALECT_TYPES["generic"])
     cols = []
     for name, dtype in df.dtypes.items():
         _check_ident(str(name))
-        cols.append(f"{name} {types[_logical_type(dtype)]}")
+        if decimal_cols and str(name) in decimal_cols:
+            p, s = decimal_cols[str(name)]
+            cols.append(f"{name} DECIMAL({int(p)},{int(s)})")
+        else:
+            cols.append(f"{name} {types[_logical_type(dtype)]}")
     return f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(cols)})"
 
 
@@ -311,13 +338,20 @@ def write_table(
     dialect: str = "generic",
     truncate: bool = False,
     concurrency: int = 1,  # sqlite is single-writer; raise for server DBs
+    decimal_cols: dict[str, tuple[int, int]] | None = None,
 ) -> int:
     """Distributed chunked INSERT (append-first; truncate on request —
     transfer.rs:92-118 semantics). Placeholders follow the connection's
     DBAPI paramstyle; identifiers are validated; chunk sizing follows the
     dialect's bind-parameter budget and per-INSERT row caps (sqlite ≤900
     params, postgres 65535 params / ≤1000 rows, mssql 2100 params / ≤1000
-    rows — the reference's limits). Returns rows written."""
+    rows — the reference's limits). Returns rows written.
+
+    ``decimal_cols`` opts columns into fixed-point fidelity: DDL becomes
+    DECIMAL(p,s) and values are bound as ``decimal.Decimal`` quantized to
+    ``s`` digits (no float repr ever reaches the wire — cents stay exact).
+    The driver must accept Decimal binds (server DBs do natively; sqlite3
+    needs an adapter, e.g. ``sqlite3.register_adapter(Decimal, str)``)."""
     _check_ident(table)
     if max_bind_params is None:
         max_bind_params = _DIALECT_MAX_BIND_PARAMS.get(dialect, 900)
@@ -325,7 +359,7 @@ def write_table(
     with _closing(connection_factory()) as conn:
         style = _detect_paramstyle(conn)
         cur = conn.cursor()
-        cur.execute(create_table_sql(table, probe, dialect))
+        cur.execute(create_table_sql(table, probe, dialect, decimal_cols))
         if truncate:
             cur.execute(f"DELETE FROM {table}")
         conn.commit()
@@ -337,14 +371,31 @@ def write_table(
     placeholders = ",".join([_placeholder(style)] * ncols)
     insert = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders})"
 
+    dec_idx = (
+        {cols.index(c): s for c, (_, s) in decimal_cols.items() if c in cols}
+        if decimal_cols
+        else {}
+    )
+
     class Writer:
         def __init__(self):
             self.conn = connection_factory()  # once per actor
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            from decimal import Decimal
+
             df = df[cols]
             cur = self.conn.cursor()
             rows = list(df.itertuples(index=False, name=None))
+            if dec_idx:
+                quant = {i: Decimal(1).scaleb(-s) for i, s in dec_idx.items()}
+                rows = [
+                    tuple(
+                        Decimal(str(v)).quantize(quant[i]) if i in quant else v
+                        for i, v in enumerate(r)
+                    )
+                    for r in rows
+                ]
             for i in range(0, len(rows), chunk_rows):
                 cur.executemany(insert, rows[i : i + chunk_rows])
             self.conn.commit()
