@@ -154,6 +154,74 @@ def q_cdc_events_per_conv(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_cdc_lifecycle(sf_dir: str) -> ray.data.Dataset:
+    """The COMPOSED table-ops lifecycle in one driver-verified flow
+    (round-3 verdict item 6): WAL-tail two file waves → compact (tombstones
+    kept) → vacuum → incremental CDC-out. Pieces are individually
+    pytest-covered; this entry gives the composition an oracle row.
+
+    Returns changes_since(first tail commit): the per-key winners whose lsn
+    passed the first commit's watermark, delete tombstones included — which
+    the oracle recomputes as a windowed replay over the full derived log
+    filtered past MAX(lsn of wave-0). Internally also asserts time-travel:
+    the pre-compaction epoch reads back identical to the latest table."""
+    import glob
+
+    tmp = tempfile.mkdtemp(prefix="tinyetl-lifecycle-")
+    watch = os.path.join(tmp, "watch")
+    root = os.path.join(tmp, "table")
+    os.makedirs(watch)
+    ds = _changes(sf_dir)
+
+    # wave 0: lsn < threshold, shipped as several files
+    ds.map_batches(
+        lambda t: t.filter(pc.less(t.column("lsn"), EVOLVE_LSN_THRESHOLD)),
+        batch_format="pyarrow",
+    ).write_parquet(os.path.join(watch))
+    c0 = cdc.tail(root, watch, num_partitions=64, max_idle_polls=1, poll_secs=0.01)
+    assert len(c0) == 1, "wave 0 should commit as one epoch"
+
+    # wave 1: the rest of the log arrives later
+    late = os.path.join(tmp, "late")
+    ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("lsn"), EVOLVE_LSN_THRESHOLD)),
+        batch_format="pyarrow",
+    ).write_parquet(late)
+    for i, f in enumerate(sorted(glob.glob(os.path.join(late, "*.parquet")))):
+        os.rename(f, os.path.join(watch, f"zz-late-{i:04d}.parquet"))
+    c1 = cdc.tail(root, watch, num_partitions=64, max_idle_polls=1, poll_secs=0.01)
+    assert len(c1) == 1, "wave 1 should commit as one epoch"
+
+    pre_compact_epoch = c1[0]["epoch"]
+    cdc.compact(root, drop_tombstones=False)
+    cdc.vacuum(root, keep_last=2)
+
+    # time-travel read: pre-compaction epoch must equal the compacted view
+    now = cdc.read_table(root).to_pandas()
+    then = cdc.read_table(root, at_epoch=pre_compact_epoch).to_pandas()
+    key = ["conv_id", "turn_idx"]
+    assert len(now) == len(then) and now.sort_values(key).reset_index(
+        drop=True
+    ).equals(then.sort_values(key).reset_index(drop=True)), (
+        "time-travel view diverged from compacted view"
+    )
+
+    return cdc.changes_since(root, after_epoch=c0[0]["epoch"])
+
+
+_LIFECYCLE_SQL = """
+WITH ch AS ({derive}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ch
+),
+wm AS (SELECT MAX(lsn) AS w FROM ch WHERE lsn < {thr})
+SELECT lsn, op, conv_id, turn_idx, role, text, tool, ts
+FROM ranked, wm WHERE rn = 1 AND lsn > wm.w
+"""
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -272,6 +340,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_topk": c.ngram_topk,
         "q3_shipping_priority": p.q3_shipping_priority,
         "agg_quantiles": p.agg_quantiles,
+        # composed table-ops lifecycle: tail → compact → vacuum →
+        # time-travel assert → changes_since (the returned, hashed result)
+        "cdc_lifecycle": q_cdc_lifecycle,
         # --- heavy tail (≥9s at sf0.01): dedup/LSH family LAST ---
         "dedup_ngram_jaccard": c.dedup_ngram_jaccard,
         "simsearch_ivf": c.simsearch_ivf,  # recall-contract row (see oracle)
@@ -383,6 +454,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_decode": DERIVE_SQL,
         "cdc_replay": lww,
+        "cdc_lifecycle": _LIFECYCLE_SQL.format(
+            derive=DERIVE_SQL, thr=EVOLVE_LSN_THRESHOLD
+        ),
         "cdc_replay_evolved": lww_evolved,
         "cdc_replay_resume": lww_evolved,
         "cdc_events_per_conv": f"""

@@ -114,9 +114,16 @@ def test_cdc_cli_flow(tmp_path, capsys):
     assert main(
         ["cdc", "replay", root, str(ch / "e0.parquet"), str(ch / "e1.parquet")]
     ) == 0
-    assert json.loads(capsys.readouterr().out.strip().splitlines()[-1]) == {
+    captured = capsys.readouterr()
+    assert json.loads(captured.out.strip().splitlines()[-1]) == {
         "applied_epochs": [0, 1]
     }
+    # incremental per-epoch progress ticker on stderr (transfer.rs:121-134
+    # parity): one line per committed epoch with events + partitions
+    ticks = [ln for ln in captured.err.splitlines() if ln.startswith("epoch ")]
+    assert len(ticks) == 2
+    assert "epoch 1/2:" in ticks[0] and "epoch 2/2:" in ticks[1]
+    assert "events/sec" in ticks[0] and "partitions" in ticks[0]
     assert main(["cdc", "lineage", root]) == 0
     lines = capsys.readouterr().out.strip().splitlines()
     assert len(lines) == 2

@@ -340,12 +340,31 @@ def cmd_cdc(args) -> int:
 
     if args.cdc_cmd == "replay":
         epoch_files = [sorted_files(p) for p in args.epochs]
+        n_epochs = len(epoch_files)
+
+        def ticker(p: dict) -> None:
+            # incremental per-epoch progress (transfer.rs:121-134 parity):
+            # one line per committed epoch, from manifest rows — stderr so
+            # the final JSON on stdout stays machine-parseable
+            print(
+                f"epoch {p['change_epoch'] + 1}/{n_epochs}: "
+                f"{p['events_applied']:,} events "
+                f"({p['delete_events']:,} deletes) -> "
+                f"{p['partitions_written']}/{p['num_partitions']} partitions, "
+                f"{p['live_rows']:,} live rows, "
+                f"{p['secs']:.2f}s ({p['events_per_sec']:,} events/sec), "
+                f"watermark={p['watermark']}",
+                file=sys.stderr,
+                flush=True,
+            )
+
         commits = cdc.replay_commit(
             args.table, epoch_files,
             base_files=sorted_files(args.base) if args.base else None,
             num_partitions=args.partitions,
             on_error="quarantine" if args.quarantine_dir else "raise",
             quarantine_dir=args.quarantine_dir,
+            progress=ticker,
         )
         print(json.dumps({"applied_epochs": [c["epoch"] for c in commits]}))
     elif args.cdc_cmd == "compact":

@@ -383,8 +383,16 @@ def replay_commit(
     first_change_epoch: int = 0,
     spill_merge_rows: int | None = None,
     spill_merge_chunk_rows: int | None = None,
+    progress: Any = None,
 ) -> list[dict[str, Any]]:
     """Apply change epochs to the committed table at ``table_root``.
+
+    ``progress``: optional callable invoked ONCE PER COMMITTED EPOCH with a
+    metrics dict (change_epoch, commit_epoch, partitions_written,
+    num_partitions, events_applied, delete_events, live_rows, secs,
+    events_per_sec, watermark) — the incremental progress surface
+    (reference transfer.rs:121-134 estimated-rows/progress parity), built
+    entirely from the manifest rows the merge already returns.
 
     ``spill_merge_rows`` / ``spill_merge_chunk_rows`` override the
     SPILL_MERGE_* defaults (prior-snapshot row count above which a merge
@@ -583,6 +591,25 @@ def replay_commit(
                 expected_prev_epoch=prev["epoch"] if prev is not None else -1,
             )
         )
+        if progress is not None:
+            secs = stats["epoch_secs"]
+            ev = sum(int(m.get("events_applied", 0)) for m in manifests)
+            progress(
+                {
+                    "change_epoch": change_epoch,
+                    "commit_epoch": commit_ep,
+                    "partitions_written": len(seen),
+                    "num_partitions": num_partitions,
+                    "events_applied": ev,
+                    "delete_events": sum(
+                        int(m.get("delete_events", 0)) for m in manifests
+                    ),
+                    "live_rows": sum(int(m["live_rows"]) for m in manifests),
+                    "secs": secs,
+                    "events_per_sec": int(ev / max(secs, 1e-9)),
+                    "watermark": commits[-1]["watermark"],
+                }
+            )
     return commits
 
 
