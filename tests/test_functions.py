@@ -159,6 +159,37 @@ def test_simhash_hamming_and_pairs():
     assert len(zero) >= 3
 
 
+def test_simhash_sub_bucket_split_exact():
+    """The pigeonhole sub-bucket path for giant SimHash buckets must emit
+    EXACTLY the pairs the plain O(m²) scan emits — force the threshold to 0
+    so every multi-doc bucket takes the sub-split path, and compare against
+    the full-scan result on a corpus engineered with hot buckets."""
+    import tinyetl_ray.functions.dedup as dd
+
+    rng = np.random.RandomState(9)
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    # small vocab → heavily correlated signatures → hot buckets; plus
+    # planted exact dups for distance-0 pairs
+    texts = [" ".join(rng.choice(words, 12)) for _ in range(400)]
+    for i in range(0, 400, 20):
+        texts[i] = texts[(i + 7) % 400]
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype=np.int64), "text": texts})
+
+    def pairs_with_threshold(th):
+        old = dd.SIMHASH_SUB_BUCKET_THRESHOLD
+        dd.SIMHASH_SUB_BUCKET_THRESHOLD = th
+        try:
+            out = simhash_pairs(ray.data.from_pandas(df), max_distance=3).to_pandas()
+        finally:
+            dd.SIMHASH_SUB_BUCKET_THRESHOLD = old
+        return set(zip(out["a"], out["b"], out["distance"]))
+
+    full = pairs_with_threshold(10**9)  # always the plain scan
+    split = pairs_with_threshold(1)  # always the sub-bucket path
+    assert split == full
+    assert len(full) > 0
+
+
 def test_embedding_neardup():
     rng = np.random.RandomState(0)
     base = rng.randn(5, 16)

@@ -65,6 +65,14 @@ def _mix_band_hash(band: np.ndarray, band_hash: np.ndarray) -> np.ndarray:
 FULL_PAIR_CAP = 128
 N_ANCHORS = 4
 
+# Above this many members a SimHash bucket's O(m²) triu scan is SKEW:
+# signature bits are correlated across real corpora, so a few hot 16-bit
+# buckets concentrate thousands of docs into one straggler task (measured:
+# one 2.5 s task while the partition mean was 0.2 s at 100k docs). Such
+# buckets sub-split EXACTLY by pigeonhole over the remaining 48 bits — no
+# recall loss, unlike FULL_PAIR_CAP's connectivity-only degradation.
+SIMHASH_SUB_BUCKET_THRESHOLD = 256
+
 
 def _segmented_bucket_pairs(
     g: pd.DataFrame, star_only: bool, full_pair_cap: int | None = None
@@ -1030,6 +1038,56 @@ def simhash_pairs(
             )
         return pd.concat(parts, ignore_index=True)
 
+    def _sub_bucket_pairs(ids_seg, hs_seg, c, maxd):
+        """Pairs within one giant (chunk c)-bucket, exactly: the members
+        agree on chunk c, so a pair at hamming ≤ maxd differs only in the
+        other 48 bits; partition those 48 bits into maxd+1 sub-chunks and
+        by pigeonhole every qualifying pair has ≥1 sub-chunk identical —
+        mine runs per sub-chunk (each far smaller than the bucket), then
+        de-dup pairs found by several sub-chunks."""
+        other = [k for k in range(4) if k != c]
+        rem48 = np.zeros(len(hs_seg), np.uint64)
+        for pos, k in enumerate(other):
+            rem48 |= ((hs_seg >> np.uint64(16 * k)) & np.uint64(0xFFFF)) << np.uint64(
+                16 * pos
+            )
+        n_sub = maxd + 1
+        widths = [48 // n_sub + (1 if j < 48 % n_sub else 0) for j in range(n_sub)]
+        pa_, pb_, pd_ = [], [], []
+        shift = 0
+        for w in widths:
+            sub = (rem48 >> np.uint64(shift)) & np.uint64((1 << w) - 1)
+            shift += w
+            order = np.argsort(sub, kind="stable")
+            ss = sub[order]
+            run_start = np.ones(len(ss), bool)
+            run_start[1:] = ss[1:] != ss[:-1]
+            rs = np.nonzero(run_start)[0]
+            rb = np.append(rs, len(ss))
+            for r0, r1 in zip(rb[:-1], rb[1:]):
+                if r1 - r0 < 2:
+                    continue
+                sel = order[r0:r1]
+                ia, ib = np.triu_indices(r1 - r0, k=1)
+                d = hamming64(hs_seg[sel][ia], hs_seg[sel][ib])
+                keep = d <= maxd
+                if keep.any():
+                    a_, b_ = ids_seg[sel][ia[keep]], ids_seg[sel][ib[keep]]
+                    lo = np.minimum(a_, b_)
+                    hi = np.maximum(a_, b_)
+                    pa_.append(lo)
+                    pb_.append(hi)
+                    pd_.append(d[keep])
+        if not pa_:
+            return None
+        a_ = np.concatenate(pa_)
+        b_ = np.concatenate(pb_)
+        d_ = np.concatenate(pd_)
+        # a pair can surface from several sub-chunks: keep one copy
+        pairs2 = np.stack([a_, b_], axis=1)
+        _, first = np.unique(pairs2, axis=0, return_index=True)
+        return a_[first], b_[first], d_[first]
+
     def part_pairs(g: pd.DataFrame, maxd: int = max_distance) -> pd.DataFrame:
         # SEGMENTED bucket scan over the whole hash partition: one sort,
         # then numpy slices per bucket run — a groupby on the raw bucket
@@ -1044,6 +1102,15 @@ def simhash_pairs(
         out_a, out_b, out_d = [], [], []
         for s0, s1 in zip(bounds[:-1], bounds[1:]):
             if s1 - s0 < 2:
+                continue
+            if s1 - s0 > SIMHASH_SUB_BUCKET_THRESHOLD and 0 < maxd < 48:
+                sub = _sub_bucket_pairs(
+                    ids[s0:s1], hs[s0:s1], int(bk[s0]) >> 16, maxd
+                )
+                if sub is not None:
+                    out_a.append(sub[0])
+                    out_b.append(sub[1])
+                    out_d.append(sub[2])
                 continue
             ia, ib = np.triu_indices(s1 - s0, k=1)
             d = hamming64(hs[s0:s1][ia], hs[s0:s1][ib])
