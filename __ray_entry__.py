@@ -279,6 +279,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": c.doc_repetition,
         "rollup_orders": p.rollup_orders,
         "token_count_by_lang": c.token_count_by_lang,
+        # incoming-batch vs ingested-corpus anti-join (content-hash routed)
+        "dedup_incremental": c.dedup_incremental,
         "string_agg_event_types": p.string_agg_event_types,
         "events_rolling_1h": p.events_rolling_1h,
         "topk_per_group": p.topk_per_group,
@@ -309,6 +311,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             p.events_tumbling_window(sf), {"sum_value": 4}
         ),
         "anti_join_events": p.anti_join_events_customers,
+        # deterministic hash-gate sampling: no shuffle, no state
+        "stratified_sample": c.stratified_sample,
+        # sequence packing by token budget via distributed prefix sum
+        "pack_sequences": c.pack_sequences,
         "join_orders_customer": lambda sf: _round_cols(
             p.join_orders_customer(sf), {"revenue": 2}
         ),
@@ -446,6 +452,8 @@ def _ensure_oracle_artifacts(sf_dir: str) -> None:
 
 
 def oracle_sql() -> dict[str, str]:
+    from tinyetl_ray.pipelines import corpus as c_consts
+
     _ensure_oracle_artifacts(_oracle_sf_dir())
     payload = "conv_id, turn_idx, role, text, tool, ts"
     evolved_cols = payload + ", model"
@@ -725,6 +733,37 @@ def oracle_sql() -> dict[str, str]:
         # --- corpus ops (shared definitions with tinyetl_ray.functions.text:
         # PUNCT_CLASS and whitespace-run token counting kept in lockstep) ---
         "text_stats": _TEXT_STATS_SQL,
+        # constants kept in lockstep with pipelines.corpus SAMPLE_* /
+        # PACK_TOKEN_BUDGET (single source of truth, f-string below)
+        "stratified_sample": f"""
+            SELECT doc_id, lang FROM documents
+            WHERE (doc_id * {c_consts.SAMPLE_MULT}) % {c_consts.SAMPLE_MOD} * 100 <
+                  (CASE WHEN lang = 'en' THEN {c_consts.SAMPLE_RATES["en"]}
+                        WHEN lang = 'zh' THEN {c_consts.SAMPLE_RATES["zh"]}
+                        ELSE {c_consts.SAMPLE_RATE_DEFAULT} END)
+                  * CAST({c_consts.SAMPLE_MOD} AS BIGINT)
+        """,
+        "pack_sequences": rf"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                           '\s+'),
+                                     x -> x != '')) AS n_tokens
+              FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(SUM(n_tokens) OVER (
+                          ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) // {c_consts.PACK_TOKEN_BUDGET} AS BIGINT) AS pack_id
+            FROM t
+        """,
+        "dedup_incremental": """
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id % 3 = 0
+              AND NOT EXISTS (SELECT 1 FROM documents e
+                              WHERE e.doc_id % 3 <> 0 AND e.text = d.text)
+        """,
         "quality_score": _quality_score_sql(),
         "token_count_by_lang": r"""
             SELECT lang,

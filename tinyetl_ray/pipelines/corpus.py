@@ -293,6 +293,121 @@ def corpus_clean(sf_dir: str, dup_word_cut: float = DUP_WORD_CUT) -> ray.data.Da
     )
 
 
+# Knuth's multiplicative hash constant (public domain, TAOCP vol 3): the
+# sampling gate both the engine and the SQL oracle compute identically.
+SAMPLE_MULT = 2654435761
+SAMPLE_MOD = 1 << 32
+# per-stratum keep rates (percent): a stratified sample that up-weights the
+# scarce stratum and down-weights the dominant one — the shape an eval-set
+# carve-out actually uses
+SAMPLE_RATES = {"en": 10, "zh": 50}
+SAMPLE_RATE_DEFAULT = 20
+
+
+def stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic stratified sampling: keep a doc iff
+    (doc_id · KNUTH) mod 2³² < rate(lang) · 2³² — a pure hash gate, so the
+    sample is reproducible across runs/engines, needs NO shuffle and no
+    state (one vectorized filter per batch), and any subset of workers
+    draws exactly the same rows. Per-stratum rates via a tiny lookup."""
+    import pandas as pd
+
+    def gate(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MOD)
+        langs = t.column("lang").to_pandas().fillna("")
+        rates = langs.map(SAMPLE_RATES).fillna(SAMPLE_RATE_DEFAULT).to_numpy(np.uint64)
+        keep = h * np.uint64(100) < rates * np.uint64(SAMPLE_MOD)
+        return t.filter(pa.array(keep)).select(["doc_id", "lang"])
+
+    return _docs(sf_dir).map_batches(gate, batch_format="pyarrow")
+
+
+PACK_TOKEN_BUDGET = 512
+
+
+def pack_sequences(sf_dir: str, budget: int = PACK_TOKEN_BUDGET) -> ray.data.Dataset:
+    """Sequence packing by token budget — the pre-training batching step —
+    via a DISTRIBUTED PREFIX SUM: pack_id(doc) = ⌊(global tokens before
+    doc, in doc_id order) / budget⌋.
+
+    Scale shape: docs are range-partitioned on doc_id (contiguous ranges,
+    so partition order = global order); pass 1 reduces each range to ONE
+    token-sum row (slim groupby); the driver prefix-sums the tiny P-row
+    table and broadcasts the offsets; pass 2 computes each range's local
+    cumsum + its offset — no global sort, no sequential scan, two passes
+    total. Docs may straddle a pack boundary (the standard
+    cumulative-bucket approximation); both engine and oracle use the same
+    rule so the assignment is value-exact."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir)
+    max_id = int(docs.max("doc_id"))
+    P = 16
+    width = max_id // P + 1
+
+    def tokens(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        # same token definition as functions.text.TextStats (whitespace
+        # runs) — its SQL twin is already value-proven by the text_stats row
+        nt = df["text"].fillna("").str.split().str.len().to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids, "n_tokens": nt, "_rp": ids // width})
+
+    tok = docs.map_batches(tokens, batch_format="pandas")
+    # pass 1: one row per range partition → driver-side exclusive prefix sum
+    # (P rows — trivially small at any corpus size as long as P is bounded)
+    totals = tok.groupby("_rp").aggregate(Sum("n_tokens", alias_name="t")).to_pandas()
+    per_range = np.zeros(P, np.int64)  # 0 for ranges with no docs
+    per_range[totals["_rp"].to_numpy(np.int64)] = totals["t"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(per_range)[:-1]])  # exclusive
+    off_ref = ray.put(offsets)
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        nt = g["n_tokens"].to_numpy(np.int64)
+        prior = off[int(g["_rp"].iloc[0])] + np.cumsum(nt) - nt
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_tokens": nt,
+                "pack_id": prior // budget,
+            }
+        )
+
+    return tok.groupby("_rp").map_groups(assign, batch_format="pandas")
+
+
+def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Incremental ingest dedup — the CDC×corpus composition: an incoming
+    batch (doc_id % 3 == 0 here) is admitted only where its text does not
+    already exist in the ingested corpus (the other docs).
+
+    Scale shape: BOTH sides route through the same content-hash partitioner
+    (route_by_text_hash), so every copy of a text meets in exactly one
+    partition; the anti-join is one vectorized isin per partition with
+    full-text equality (hash collisions can't admit a duplicate). One slim
+    shuffle, no driver-side text, no broadcast of the big side."""
+    import pandas as pd
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy()
+        return t.select(["doc_id", "text"]).append_column(
+            "is_new", pa.array(ids % 3 == 0)
+        )
+
+    routed = dd.route_by_text_hash(_docs(sf_dir).map_batches(tag, batch_format="pyarrow"))
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        new = g[g["is_new"]]
+        old = g[~g["is_new"]]
+        keep = ~new["text"].isin(set(old["text"]))
+        return pd.DataFrame({"doc_id": new.loc[keep, "doc_id"].to_numpy(np.int64)})
+
+    return routed.groupby("_part").map_groups(resolve, batch_format="pandas")
+
+
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     return dd.exact_dedup(_docs(sf_dir))
 
