@@ -313,6 +313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_events": p.anti_join_events_customers,
         # deterministic hash-gate sampling: no shuffle, no state
         "stratified_sample": c.stratified_sample,
+        # global training-shuffle rank via range-partitioned prefix sum
+        "shuffle_rank": c.shuffle_rank,
         # sequence packing by token budget via distributed prefix sum
         "pack_sequences": c.pack_sequences,
         "join_orders_customer": lambda sf: _round_cols(
@@ -763,6 +765,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 3 = 0
               AND NOT EXISTS (SELECT 1 FROM documents e
                               WHERE e.doc_id % 3 <> 0 AND e.text = d.text)
+        """,
+        "shuffle_rank": f"""
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                     ORDER BY (doc_id * {c_consts.SHUFFLE_MULT})
+                              % {c_consts.SAMPLE_MOD}, doc_id) - 1
+                        AS BIGINT) AS shuffle_rank
+            FROM documents
         """,
         "quality_score": _quality_score_sql(),
         "token_count_by_lang": r"""

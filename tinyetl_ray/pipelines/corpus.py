@@ -379,6 +379,56 @@ def pack_sequences(sf_dir: str, budget: int = PACK_TOKEN_BUDGET) -> ray.data.Dat
     return tok.groupby("_rp").map_groups(assign, batch_format="pandas")
 
 
+# xxhash32 prime — decorrelated from SAMPLE_MULT so sampling and shuffling
+# never cohere on the same docs
+SHUFFLE_MULT = 2246822519
+
+
+def shuffle_rank(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic training-order shuffle: every doc gets a GLOBAL rank
+    in the order of its hash key — the epoch-reshuffle step of a training
+    pipeline, reproducible across engines and runs.
+
+    Scale shape: a global rank normally means a global sort; here the HASH
+    KEY SPACE is range-partitioned (key // (2³²/P) — contiguous key ranges,
+    so partition order = global order), each partition reports only its
+    row COUNT, the driver prefix-sums the tiny P-row table, and each
+    partition locally sorts by (key, doc_id) and adds its broadcast offset.
+    Two passes, shuffle moves (doc_id, key) only."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+
+    P = 16
+    span = SAMPLE_MOD // P
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(SHUFFLE_MULT)) % np.uint64(SAMPLE_MOD)
+        return pd.DataFrame(
+            {"doc_id": ids, "_key": h.astype(np.int64), "_rb": (h // span).astype(np.int64)}
+        )
+
+    keyed = _docs(sf_dir).map_batches(key, batch_format="pandas")
+    counts = keyed.groupby("_rb").aggregate(Count(alias_name="n")).to_pandas()
+    per_range = np.zeros(P, np.int64)
+    per_range[counts["_rb"].to_numpy(np.int64)] = counts["n"].to_numpy(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(per_range)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def rank(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values(["_key", "doc_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "shuffle_rank": off[int(g["_rb"].iloc[0])]
+                + np.arange(len(g), dtype=np.int64),
+            }
+        )
+
+    return keyed.groupby("_rb").map_groups(rank, batch_format="pandas")
+
+
 def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
     """Incremental ingest dedup — the CDC×corpus composition: an incoming
     batch (doc_id % 3 == 0 here) is admitted only where its text does not
