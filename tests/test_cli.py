@@ -315,6 +315,40 @@ def test_corpus_cli_ops(tmp_path):
     sp = pq.read_table(out4).to_pandas().set_index("doc_id")
     assert sp.loc[0, "split"] == sp.loc[1, "split"]  # dups co-locate
 
+    out5 = str(tmp_path / "pack")
+    assert main(["corpus", "pack", src, out5, "--budget", "15"]) == 0
+    pk = pq.read_table(out5).to_pandas().sort_values("doc_id")
+    # budget 15: cumulative-bucket rule, deterministic
+    prior = pk["n_tokens"].cumsum() - pk["n_tokens"]
+    assert (pk["pack_id"].to_numpy() == (prior // 15).to_numpy()).all()
+
+    out6 = str(tmp_path / "rank")
+    assert main(["corpus", "shuffle-rank", src, out6]) == 0
+    rk = pq.read_table(out6).to_pandas()
+    assert sorted(rk["shuffle_rank"]) == list(range(6))  # a permutation
+
+    out7 = str(tmp_path / "sample")
+    assert main(["corpus", "sample", src, out7]) == 0  # deterministic subset
+
+    # incremental: docs 0-2 incoming vs existing {1,3,4,5} → doc 1's text
+    # (the exact dup of docs 0 AND 1) blocks both; only doc 2's text is new
+    inc = str(tmp_path / "inc.parquet")
+    exist = str(tmp_path / "exist.parquet")
+    docs.iloc[:3].to_parquet(inc, index=False)
+    docs.iloc[[1, 3, 4, 5]].to_parquet(exist, index=False)
+    out8 = str(tmp_path / "incdedup")
+    assert main(
+        ["corpus", "dedup-incremental", inc, out8, "--existing", exist]
+    ) == 0
+    got = pq.read_table(out8).to_pandas()["doc_id"].tolist()
+    assert got == [2]
+
+    # fully-duplicated incoming batch → EMPTY result must not crash the CLI
+    out9 = str(tmp_path / "incdedup-empty")
+    assert main(
+        ["corpus", "dedup-incremental", exist, out9, "--existing", exist]
+    ) == 0
+
 
 def test_ssh_transport_mock_scp(tmp_path, monkeypatch):
     """ssh:// downloads via the system scp client (ssh.rs:28-96). No sshd in

@@ -424,12 +424,35 @@ def cmd_corpus(args) -> int:
         out = ds.map_batches(RepetitionStats(), batch_format="pandas")
     elif args.corpus_cmd == "split":
         out = ds.map_batches(HashSplit(), batch_format="pandas")
+    elif args.corpus_cmd == "sample":
+        from .pipelines.corpus import sample_ds
+
+        out = sample_ds(ds)
+    elif args.corpus_cmd == "pack":
+        from .pipelines.corpus import pack_sequences_ds
+
+        out = pack_sequences_ds(ds, budget=args.budget)
+    elif args.corpus_cmd == "shuffle-rank":
+        from .pipelines.corpus import shuffle_rank_ds
+
+        out = shuffle_rank_ds(ds)
+    elif args.corpus_cmd == "dedup-incremental":
+        from .pipelines.corpus import dedup_incremental_ds
+
+        out = dedup_incremental_ds(ds, clean_read_parquet(args.existing))
     else:  # pragma: no cover - argparse restricts choices
         raise ValueError(args.corpus_cmd)
     write_any(out, args.output, fmt="parquet")
     from .sources.io import count_written_rows
 
-    print(f"{args.corpus_cmd}: {count_written_rows(args.output, fmt='parquet')} rows -> {args.output}")
+    # an all-filtered (empty) result writes no files at all — report 0 rows
+    # instead of failing the read-back
+    n = (
+        count_written_rows(args.output, fmt="parquet")
+        if os.path.exists(args.output)
+        else 0
+    )
+    print(f"{args.corpus_cmd}: {n} rows -> {args.output}")
     return 0
 
 
@@ -536,13 +559,23 @@ def main(argv: list[str] | None = None) -> int:
         help="training-data ops over a documents parquet (dedup/scrub/quality/split)",
     )
     cosub = co.add_subparsers(dest="corpus_cmd", required=True)
-    for name in ("dedup-exact", "cluster", "scrub", "quality", "repetition", "split"):
+    for name in (
+        "dedup-exact", "cluster", "scrub", "quality", "repetition", "split",
+        "sample", "pack", "shuffle-rank", "dedup-incremental",
+    ):
         cp = cosub.add_parser(name)
         cp.add_argument("input")
         cp.add_argument("output")
         if name == "cluster":
             cp.add_argument(
                 "--verify-threshold", dest="verify_threshold", type=float, default=0.5
+            )
+        if name == "pack":
+            cp.add_argument("--budget", type=int, default=512)
+        if name == "dedup-incremental":
+            cp.add_argument(
+                "--existing", required=True,
+                help="parquet of the already-ingested corpus (anti-join side)",
             )
     co.set_defaults(fn=cmd_corpus)
 

@@ -304,29 +304,42 @@ SAMPLE_RATES = {"en": 10, "zh": 50}
 SAMPLE_RATE_DEFAULT = 20
 
 
-def stratified_sample(sf_dir: str) -> ray.data.Dataset:
-    """Deterministic stratified sampling: keep a doc iff
-    (doc_id · KNUTH) mod 2³² < rate(lang) · 2³² — a pure hash gate, so the
-    sample is reproducible across runs/engines, needs NO shuffle and no
-    state (one vectorized filter per batch), and any subset of workers
-    draws exactly the same rows. Per-stratum rates via a tiny lookup."""
-    import pandas as pd
+def sample_ds(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Deterministic stratified sampling over any (doc_id[, lang]) dataset:
+    keep a doc iff (doc_id · KNUTH) mod 2³² < rate(lang) · 2³² — a pure
+    hash gate, so the sample is reproducible across runs/engines, needs NO
+    shuffle and no state (one vectorized filter per batch), and any subset
+    of workers draws exactly the same rows. Per-stratum rates via a tiny
+    lookup; datasets without a lang column use the default rate."""
 
     def gate(t: pa.Table) -> pa.Table:
         ids = t.column("doc_id").to_numpy().astype(np.uint64)
         h = (ids * np.uint64(SAMPLE_MULT)) % np.uint64(SAMPLE_MOD)
-        langs = t.column("lang").to_pandas().fillna("")
-        rates = langs.map(SAMPLE_RATES).fillna(SAMPLE_RATE_DEFAULT).to_numpy(np.uint64)
+        if "lang" in t.column_names:
+            langs = t.column("lang").to_pandas().fillna("")
+            rates = (
+                langs.map(SAMPLE_RATES).fillna(SAMPLE_RATE_DEFAULT).to_numpy(np.uint64)
+            )
+            cols = ["doc_id", "lang"]
+        else:
+            rates = np.full(len(ids), SAMPLE_RATE_DEFAULT, np.uint64)
+            cols = ["doc_id"]
         keep = h * np.uint64(100) < rates * np.uint64(SAMPLE_MOD)
-        return t.filter(pa.array(keep)).select(["doc_id", "lang"])
+        return t.filter(pa.array(keep)).select(cols)
 
-    return _docs(sf_dir).map_batches(gate, batch_format="pyarrow")
+    return docs.map_batches(gate, batch_format="pyarrow")
+
+
+def stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    return sample_ds(_docs(sf_dir))
 
 
 PACK_TOKEN_BUDGET = 512
 
 
-def pack_sequences(sf_dir: str, budget: int = PACK_TOKEN_BUDGET) -> ray.data.Dataset:
+def pack_sequences_ds(
+    docs: ray.data.Dataset, budget: int = PACK_TOKEN_BUDGET
+) -> ray.data.Dataset:
     """Sequence packing by token budget — the pre-training batching step —
     via a DISTRIBUTED PREFIX SUM: pack_id(doc) = ⌊(global tokens before
     doc, in doc_id order) / budget⌋.
@@ -342,7 +355,6 @@ def pack_sequences(sf_dir: str, budget: int = PACK_TOKEN_BUDGET) -> ray.data.Dat
     import pandas as pd
     from ray.data.aggregate import Sum
 
-    docs = _docs(sf_dir)
     max_id = int(docs.max("doc_id"))
     P = 16
     width = max_id // P + 1
@@ -379,12 +391,16 @@ def pack_sequences(sf_dir: str, budget: int = PACK_TOKEN_BUDGET) -> ray.data.Dat
     return tok.groupby("_rp").map_groups(assign, batch_format="pandas")
 
 
+def pack_sequences(sf_dir: str, budget: int = PACK_TOKEN_BUDGET) -> ray.data.Dataset:
+    return pack_sequences_ds(_docs(sf_dir), budget)
+
+
 # xxhash32 prime — decorrelated from SAMPLE_MULT so sampling and shuffling
 # never cohere on the same docs
 SHUFFLE_MULT = 2246822519
 
 
-def shuffle_rank(sf_dir: str) -> ray.data.Dataset:
+def shuffle_rank_ds(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Deterministic training-order shuffle: every doc gets a GLOBAL rank
     in the order of its hash key — the epoch-reshuffle step of a training
     pipeline, reproducible across engines and runs.
@@ -408,7 +424,7 @@ def shuffle_rank(sf_dir: str) -> ray.data.Dataset:
             {"doc_id": ids, "_key": h.astype(np.int64), "_rb": (h // span).astype(np.int64)}
         )
 
-    keyed = _docs(sf_dir).map_batches(key, batch_format="pandas")
+    keyed = docs.map_batches(key, batch_format="pandas")
     counts = keyed.groupby("_rb").aggregate(Count(alias_name="n")).to_pandas()
     per_range = np.zeros(P, np.int64)
     per_range[counts["_rb"].to_numpy(np.int64)] = counts["n"].to_numpy(np.int64)
@@ -429,10 +445,16 @@ def shuffle_rank(sf_dir: str) -> ray.data.Dataset:
     return keyed.groupby("_rb").map_groups(rank, batch_format="pandas")
 
 
-def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+def shuffle_rank(sf_dir: str) -> ray.data.Dataset:
+    return shuffle_rank_ds(_docs(sf_dir))
+
+
+def dedup_incremental_ds(
+    new_docs: ray.data.Dataset, old_docs: ray.data.Dataset
+) -> ray.data.Dataset:
     """Incremental ingest dedup — the CDC×corpus composition: an incoming
-    batch (doc_id % 3 == 0 here) is admitted only where its text does not
-    already exist in the ingested corpus (the other docs).
+    batch is admitted only where its text does not already exist in the
+    ingested corpus.
 
     Scale shape: BOTH sides route through the same content-hash partitioner
     (route_by_text_hash), so every copy of a text meets in exactly one
@@ -441,13 +463,18 @@ def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
     shuffle, no driver-side text, no broadcast of the big side."""
     import pandas as pd
 
-    def tag(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_numpy()
-        return t.select(["doc_id", "text"]).append_column(
-            "is_new", pa.array(ids % 3 == 0)
-        )
+    def tag(is_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            return t.select(["doc_id", "text"]).append_column(
+                "is_new", pa.array(np.full(len(t), is_new))
+            )
 
-    routed = dd.route_by_text_hash(_docs(sf_dir).map_batches(tag, batch_format="pyarrow"))
+        return f
+
+    both = new_docs.map_batches(tag(True), batch_format="pyarrow").union(
+        old_docs.map_batches(tag(False), batch_format="pyarrow")
+    )
+    routed = dd.route_by_text_hash(both)
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
         new = g[g["is_new"]]
@@ -456,6 +483,25 @@ def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
         return pd.DataFrame({"doc_id": new.loc[keep, "doc_id"].to_numpy(np.int64)})
 
     return routed.groupby("_part").map_groups(resolve, batch_format="pandas")
+
+
+def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Driver row: the incoming batch is doc_id % 3 == 0, the ingested
+    corpus is the rest — a deterministic split of the documents table."""
+
+    def part(keep_new: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_numpy()
+            m = ids % 3 == 0
+            return t.filter(pa.array(m if keep_new else ~m))
+
+        return f
+
+    docs = _docs(sf_dir)
+    return dedup_incremental_ds(
+        docs.map_batches(part(True), batch_format="pyarrow"),
+        docs.map_batches(part(False), batch_format="pyarrow"),
+    )
 
 
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
