@@ -46,6 +46,22 @@ def test_transfer_with_transform(emp_csv, tmp_path, capsys):
     assert "annual" in t.column_names
 
 
+def test_transfer_progress_flag(emp_csv, tmp_path, capsys):
+    """--progress prints the pre-transfer row estimate (csv line count /
+    parquet footer — the reference's estimated_row_count surface) and turns
+    Ray's live progress bars on for the run."""
+    import ray.data
+
+    out = str(tmp_path / "outp")
+    rc = main(["transfer", emp_csv, out, "--progress", "--target-format", "parquet"])
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "estimated 3 source rows" in captured.err
+    assert "transferred 3 rows" in captured.out
+    # leave the session the way the other tests expect it
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
 def test_preview_and_dry_run(emp_csv, tmp_path, capsys):
     assert main(["transfer", emp_csv, str(tmp_path / "x"), "--preview", "2"]) == 0
     out = capsys.readouterr().out

@@ -190,9 +190,39 @@ def build_pipeline(args) -> "ray.data.Dataset":  # noqa: F821
     return ds
 
 
+def _estimate_rows(path: str) -> int | None:
+    """Cheap source-row estimate for the pre-transfer display (the
+    reference's estimated_row_count surface, csv.rs:212-218 line count /
+    parquet.rs:224-231 row-group metadata): parquet footers are exact and
+    free; CSV counts lines only under a size cap; other formats skip."""
+    try:
+        if path.endswith(".parquet") and os.path.isfile(path):
+            import pyarrow.parquet as pq
+
+            return pq.ParquetFile(path).metadata.num_rows
+        if path.endswith(".csv") and os.path.isfile(path):
+            if os.path.getsize(path) > 256 * 1024 * 1024:
+                return None  # don't scan huge files just to print a number
+            with open(path, "rb") as f:
+                return max(0, sum(1 for _ in f) - 1)
+    except OSError:
+        pass
+    return None
+
+
 def cmd_transfer(args) -> int:
     _ensure_ray()
+    import ray.data
+
     from .sources.io import write_any
+
+    if getattr(args, "progress", False):
+        # live operator-level progress (the reference's transfer progress
+        # bar, transfer.rs:121-134) — rendered by Ray Data itself
+        ray.data.DataContext.get_current().enable_progress_bars = True
+        est = _estimate_rows(args.source)
+        if est is not None:
+            print(f"estimated {est:,} source rows", file=sys.stderr)
 
     ds = build_pipeline(args)
     if args.preview:
@@ -477,6 +507,10 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--preview", type=int, default=0)
     t.add_argument("--dry-run", action="store_true", dest="dry_run")
     t.add_argument("--truncate", action="store_true")
+    t.add_argument(
+        "--progress", action="store_true",
+        help="live Ray Data progress bars + pre-transfer row estimate",
+    )
     t.add_argument("--drop-invalid", action="store_true", dest="drop_invalid")
     t.add_argument("--sniff-types", action="store_true", dest="sniff_types")
     t.add_argument("--target-format", dest="target_format")
