@@ -118,6 +118,36 @@ python -m tinyetl_ray.cli cdc tail "$OUT/07_table" "$OUT/incoming" --partitions 
 python -m tinyetl_ray.cli cdc changes-since "$OUT/07_table" 0 > "$OUT/07_delta.txt" 2>/dev/null
 check "07_tail_cdc_out" 'grep -q "\"applied_epochs\": \[0\]" "$OUT/07_tail.json" && grep -q "\"applied_epochs\": \[1\]" "$OUT/07_tail2.json" && grep -qE "rows: [1-9]" "$OUT/07_delta.txt"'
 
+# 08: training-data batching ops over a documents parquet — deterministic
+# sample, token-budget packing, global shuffle rank, incremental dedup of
+# an incoming batch against the corpus.
+python - "$OUT" <<'PY' >/dev/null 2>&1
+import sys, os
+import pandas as pd
+out = sys.argv[1]
+docs = pd.DataFrame({
+    "doc_id": range(40),
+    "text": [f"doc number {i} with a few extra words {'pad ' * (i % 5)}" for i in range(40)],
+    "lang": (["en", "zh", "de", "fr"] * 10),
+})
+docs.to_parquet(os.path.join(out, "docs.parquet"), index=False)
+docs.iloc[:10].to_parquet(os.path.join(out, "incoming.parquet"), index=False)
+docs.iloc[5:].to_parquet(os.path.join(out, "corpus.parquet"), index=False)
+PY
+python -m tinyetl_ray.cli corpus sample "$OUT/docs.parquet" "$OUT/08_sample" >/dev/null 2>&1
+python -m tinyetl_ray.cli corpus pack "$OUT/docs.parquet" "$OUT/08_pack" --budget 32 >/dev/null 2>&1
+python -m tinyetl_ray.cli corpus shuffle-rank "$OUT/docs.parquet" "$OUT/08_rank" >/dev/null 2>&1
+python -m tinyetl_ray.cli corpus dedup-incremental "$OUT/incoming.parquet" "$OUT/08_inc" --existing "$OUT/corpus.parquet" >/dev/null 2>&1
+check "08_batching_ops" 'python -c "
+import pyarrow.parquet as pq, glob, sys
+def rows(d):
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in glob.glob(d + \"/*.parquet\"))
+assert 0 < rows(\"$OUT/08_sample\") < 40          # deterministic subset
+assert rows(\"$OUT/08_pack\") == 40               # every doc packed
+assert rows(\"$OUT/08_rank\") == 40               # a full permutation
+assert rows(\"$OUT/08_inc\") == 5                 # docs 0-4 are new, 5-9 exist
+" 2>/dev/null'
+
 echo "----------------------------------------"
 echo "examples: $pass passed, $fail failed (out: $OUT)"
 [ "$fail" -eq 0 ]
