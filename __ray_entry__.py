@@ -513,7 +513,10 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
                      AS window_start,
                    COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS sum_value
+                   -- int64-cents sum (values are exact 2-dp decimals):
+                   -- order-independent, bit-identical to the engine
+                   ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 4)
+                     AS sum_value
             FROM events GROUP BY 1, 2
         """,
         "events_hopping_window": """
@@ -524,7 +527,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events, (SELECT unnest([0, 1]) AS k) h
             )
             SELECT user_id, window_start, COUNT(*) AS n_events,
-                   ROUND(SUM(value), 4) AS sum_value
+                   ROUND(SUM(CAST(round(value * 100) AS BIGINT)) / 100.0, 4)
+                     AS sum_value
             FROM w GROUP BY 1, 2
         """,
         "events_running_total": """

@@ -178,13 +178,24 @@ def events_tumbling_window(sf_dir: str) -> ray.data.Dataset:
     def add_window(t: pa.Table) -> pa.Table:
         us = t.column("ts").cast(pa.int64())
         win = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
-        return t.append_column("window_start", win.cast(pa.timestamp("us")))
+        t = t.append_column("window_start", win.cast(pa.timestamp("us")))
+        # the value column is exact 2-dp decimals: sum int64 CENTS so the
+        # aggregate is order-independent and bit-identical to the oracle's
+        # integer sum at ANY scale (float accumulation hit 4-dp rounding
+        # boundaries on ~0.03% of sf0.1 groups)
+        cents = pc.round(pc.multiply(t.column("value"), 100)).cast(pa.int64())
+        return t.append_column("_cents", cents)
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(t.column("sum_cents"), pa.float64()), 100)
+        return t.drop_columns(["sum_cents"]).append_column("sum_value", s)
 
     return (
         _read(sf_dir, "events", columns=["ts", "user_id", "value"])
         .map_batches(add_window, batch_format="pyarrow")
         .groupby(["user_id", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Count(alias_name="n_events"), Sum("_cents", alias_name="sum_cents"))
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 
@@ -206,21 +217,28 @@ def events_hopping_window(sf_dir: str) -> ray.data.Dataset:
         # windows containing ts: starts in (ts-size, ts] stepped by hop
         last = (us // HOP_US) * HOP_US
         starts = [last, last - HOP_US]  # size/hop = 2 containing windows
+        cents = np.rint(val * 100).astype(np.int64)  # exact: 2-dp values
         return pa.table(
             {
                 "user_id": pa.array(np.concatenate([uid, uid])),
                 "window_start": pa.array(
                     np.concatenate(starts), pa.int64()
                 ).cast(pa.timestamp("us")),
-                "value": pa.array(np.concatenate([val, val])),
+                "_cents": pa.array(np.concatenate([cents, cents])),
             }
         )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(t.column("sum_cents"), pa.float64()), 100)
+        return t.drop_columns(["sum_cents"]).append_column("sum_value", s)
 
     return (
         _read(sf_dir, "events", columns=["ts", "user_id", "value"])
         .map_batches(explode_windows, batch_format="pyarrow")
         .groupby(["user_id", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        # int64-cents sum: order-independent, bit-identical to the oracle
+        .aggregate(Count(alias_name="n_events"), Sum("_cents", alias_name="sum_cents"))
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 
