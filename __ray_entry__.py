@@ -533,9 +533,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_running_total": """
             SELECT event_id, user_id,
-                   ROUND(SUM(value) OVER (
+                   ROUND(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
                      PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING), 4) AS running_value
+                     ROWS UNBOUNDED PRECEDING) / 100.0, 4) AS running_value
             FROM events
         """,
         "events_sessionize": """
@@ -626,10 +626,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY user_id
         """,
         "q1_lineitem": """
+            -- integer-quantized aggregates (money/qty are exact 2-dp):
+            -- order-independent, bit-identical to the engine at any scale
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue,
-                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   ROUND(SUM(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0, 2)
+                     AS sum_qty,
+                   ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         / 10000.0, 2) AS sum_revenue,
+                   ROUND(SUM(CAST(round(l_discount * 100) AS BIGINT)) / 100.0
+                         / COUNT(*), 6) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -641,13 +647,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_orders_by_status": """
             SELECT o_orderstatus, COUNT(*) AS n_orders,
-                   ROUND(SUM(o_totalprice), 2) AS sum_price,
-                   ROUND(AVG(o_totalprice), 4) AS avg_price
+                   ROUND(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+                     AS sum_price,
+                   ROUND(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                         / COUNT(*), 4) AS avg_price
             FROM orders GROUP BY o_orderstatus
         """,
         "join_orders_customer": """
             SELECT c.c_mktsegment, COUNT(*) AS n_orders,
-                   ROUND(SUM(o.o_totalprice), 2) AS revenue
+                   ROUND(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+                     AS revenue
             FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
             GROUP BY c.c_mktsegment
         """,
@@ -689,7 +698,9 @@ def oracle_sql() -> dict[str, str]:
         # are identical on both sides
         "q3_shipping_priority": """
             SELECT l_orderkey, o_orderdate,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   ROUND(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                         / 10000.0, 2) AS revenue
             FROM customer, orders, lineitem
             WHERE c_mktsegment = 'BUILDING'
               AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -701,10 +712,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_rolling_1h": """
             SELECT event_id, user_id,
-                   ROUND(SUM(value) OVER (
+                   ROUND(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
                      PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
-                   ), 4) AS rolling_value
+                   ) / 100.0, 4) AS rolling_value
             FROM events
         """,
         "string_agg_event_types": """

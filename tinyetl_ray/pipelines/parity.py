@@ -256,9 +256,12 @@ def events_running_total(sf_dir: str) -> ray.data.Dataset:
 
     def running_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
-        g = g.assign(
-            running_value=g.groupby("user_id", sort=False)["value"].cumsum().round(4)
-        )
+        # int64-cents cumsum (values are exact 2-dp): association-order
+        # independent, bit-identical to the oracle's window sum at any
+        # history length
+        cents = np.rint(g["value"].to_numpy() * 100).astype(np.int64)
+        run = pd.Series(cents, index=g.index).groupby(g["user_id"], sort=False).cumsum()
+        g = g.assign(running_value=(run / 100.0).round(4))
         return g[["event_id", "user_id", "running_value"]]
 
     return (
@@ -722,14 +725,46 @@ def pivot_event_counts(sf_dir: str) -> ray.data.Dataset:
 
 def q1_lineitem(sf_dir: str) -> ray.data.Dataset:
     """TPC-H Q1 shape: pricing summary over lineitem — pre-computed revenue
-    column + grouped aggregate (column-pruned read)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    column + grouped aggregate (column-pruned read).
 
-    def add_revenue(t: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            t.column("l_extendedprice"), pc.subtract(pa.scalar(1.0), t.column("l_discount"))
+    All money/quantity aggregates run in INTEGER quantized space (cents;
+    revenue = price_cents · (100 − disc_cents), exact ten-thousandths) so
+    sums are order-independent and bit-identical to the oracle's integer
+    SQL at any scale — float accumulation hit N-dp rounding boundaries on
+    large groups (round-4 sf0.1 sweep finding on the window sums)."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    def quantize(t: pa.Table) -> pa.Table:
+        price_c = np.rint(t.column("l_extendedprice").to_numpy() * 100).astype(np.int64)
+        disc_c = np.rint(t.column("l_discount").to_numpy() * 100).astype(np.int64)
+        qty_c = np.rint(t.column("l_quantity").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "_qty_c": pa.array(qty_c),
+                "_rev_e4": pa.array(price_c * (100 - disc_c)),
+                "_disc_c": pa.array(disc_c),
+            }
         )
-        return t.append_column("revenue", rev)
+
+    def finish(t: pa.Table) -> pa.Table:
+        out = t.select(["l_returnflag", "l_linestatus"])
+        out = out.append_column(
+            "sum_qty", pc.divide(pc.cast(t.column("_sq"), pa.float64()), 100)
+        )
+        out = out.append_column(
+            "sum_revenue", pc.divide(pc.cast(t.column("_sr"), pa.float64()), 10_000)
+        )
+        out = out.append_column(
+            "avg_disc",
+            pc.divide(
+                pc.divide(pc.cast(t.column("_sd"), pa.float64()), 100),
+                pc.cast(t.column("count_order"), pa.float64()),
+            ),
+        )
+        return out.append_column("count_order", t.column("count_order"))
 
     return (
         _read(
@@ -740,14 +775,15 @@ def q1_lineitem(sf_dir: str) -> ray.data.Dataset:
                 "l_extendedprice", "l_discount",
             ],
         )
-        .map_batches(add_revenue, batch_format="pyarrow")
+        .map_batches(quantize, batch_format="pyarrow")
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("revenue", alias_name="sum_revenue"),
-            Mean("l_discount", alias_name="avg_disc"),
+            Sum("_qty_c", alias_name="_sq"),
+            Sum("_rev_e4", alias_name="_sr"),
+            Sum("_disc_c", alias_name="_sd"),
             Count(alias_name="count_order"),
         )
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 
@@ -778,17 +814,34 @@ def anti_join_events_customers(sf_dir: str) -> ray.data.Dataset:
 
 
 def agg_orders_by_status(sf_dir: str) -> ray.data.Dataset:
-    """Grouped aggregate (Ray partial-agg shuffle): count + sum per status."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """Grouped aggregate (Ray partial-agg shuffle): count + sum per status.
+    Sums run in int64 cents (exact 2-dp money) — order-independent,
+    bit-identical to the oracle at any group size."""
+    import numpy as np
+    from ray.data.aggregate import Count, Sum
+
+    def quantize(t: pa.Table) -> pa.Table:
+        cents = np.rint(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+        return pa.table(
+            {"o_orderstatus": t.column("o_orderstatus"), "_cents": pa.array(cents)}
+        )
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(t.column("_sc"), pa.float64()), 100)
+        return (
+            t.select(["o_orderstatus", "n_orders"])
+            .append_column("sum_price", s)
+            .append_column(
+                "avg_price", pc.divide(s, pc.cast(t.column("n_orders"), pa.float64()))
+            )
+        )
 
     return (
         _read(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"])
+        .map_batches(quantize, batch_format="pyarrow")
         .groupby("o_orderstatus")
-        .aggregate(
-            Count(alias_name="n_orders"),
-            Sum("o_totalprice", alias_name="sum_price"),
-            Mean("o_totalprice", alias_name="avg_price"),
-        )
+        .aggregate(Count(alias_name="n_orders"), Sum("_cents", alias_name="_sc"))
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 
@@ -822,9 +875,20 @@ def join_orders_customer(sf_dir: str) -> ray.data.Dataset:
             idx_c = np.clip(idx, 0, len(self.keys_sorted) - 1)
             hit = self.keys_sorted[idx_c] == keys
             seg = np.where(hit, self.segs[idx_c], None)
-            return t.append_column("c_mktsegment", pa.array(seg, pa.string()))
+            cents = np.rint(t.column("o_totalprice").to_numpy() * 100).astype(np.int64)
+            return pa.table(
+                {
+                    "c_mktsegment": pa.array(seg, pa.string()),
+                    "_cents": pa.array(cents),  # exact 2-dp money
+                }
+            )
 
     from ray.data.aggregate import Count, Sum
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.select(["c_mktsegment", "n_orders"]).append_column(
+            "revenue", pc.divide(pc.cast(t.column("_sc"), pa.float64()), 100)
+        )
 
     # Pool sizing: fractional num_cpus so the actor pool can NEVER reserve
     # the whole session and starve the read/aggregate stages (observed
@@ -835,7 +899,8 @@ def join_orders_customer(sf_dir: str) -> ray.data.Dataset:
             SegmentJoin, batch_format="pyarrow", concurrency=2, num_cpus=0.5
         )
         .groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .aggregate(Count(alias_name="n_orders"), Sum("_cents", alias_name="_sc"))
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 
@@ -1071,6 +1136,7 @@ def events_rolling_1h(sf_dir: str) -> ray.data.Dataset:
     value, so equal-(user, ts) rows are collapsed first (the window sum is
     a pure function of (user, ts)) and the result mapped back by merge —
     tie semantics then match the oracle exactly."""
+    import numpy as np
     import pandas as pd
 
     P = _wide_parts()
@@ -1080,17 +1146,20 @@ def events_rolling_1h(sf_dir: str) -> ray.data.Dataset:
 
     def rolling_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        # int64-cents rolling sums (values exact 2-dp): no float
+        # accumulation, bit-identical to the oracle's RANGE-frame window
+        g = g.assign(_cents=np.rint(g["value"].to_numpy() * 100).astype(np.int64))
         col = (
-            g.groupby(["user_id", "ts"], sort=False)["value"]
+            g.groupby(["user_id", "ts"], sort=False)["_cents"]
             .sum()
             .reset_index()
         )
         r = (
             col.groupby("user_id", sort=False)
-            .rolling("3600s", on="ts", closed="both")["value"]
+            .rolling("3600s", on="ts", closed="both")["_cents"]
             .sum()
         )
-        col["rolling_value"] = r.round(4).to_numpy()
+        col["rolling_value"] = (r.to_numpy() / 100.0).round(4)
         out = g.merge(col[["user_id", "ts", "rolling_value"]], on=["user_id", "ts"])
         return out[["event_id", "user_id", "rolling_value"]]
 
@@ -1157,19 +1226,20 @@ def q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
                     "_part": (key.astype(np.uint64) % np.uint64(P)).astype(np.int32),
                     "od": df["o_orderdate"].to_numpy("datetime64[us]")[keep]
                     .astype("int64"),
-                    "rev": np.full(keep.sum(), np.nan),
+                    "rev": np.full(int(keep.sum()), -1, np.int64),
                     "is_order": np.ones(int(keep.sum()), bool),
                 }
             )
 
     def lineitem_partial(df: pd.DataFrame) -> pd.DataFrame:
-        # filter + combine: partial revenue sum per orderkey within the batch
+        # filter + combine: partial revenue sum per orderkey within the
+        # batch — in int64 ten-thousandths (price/discount are exact 2-dp)
+        # so partial-sum association order can never shift the final cents
         keep = df["l_shipdate"].to_numpy("datetime64[us]") > CUTOFF
         key = df["l_orderkey"].to_numpy(np.int64)[keep]
-        rev = (
-            df["l_extendedprice"].to_numpy()[keep]
-            * (1 - df["l_discount"].to_numpy()[keep])
-        )
+        price_c = np.rint(df["l_extendedprice"].to_numpy()[keep] * 100).astype(np.int64)
+        disc_c = np.rint(df["l_discount"].to_numpy()[keep] * 100).astype(np.int64)
+        rev = price_c * (100 - disc_c)
         part = pd.DataFrame({"key": key, "rev": rev}).groupby("key", as_index=False)[
             "rev"
         ].sum()
@@ -1214,7 +1284,7 @@ def q3_shipping_priority(sf_dir: str) -> ray.data.Dataset:
             {
                 "l_orderkey": j["key"].to_numpy(np.int64),
                 "o_orderdate": pd.to_datetime(j["od"], unit="us"),
-                "revenue": j["rev"].round(2).to_numpy(),
+                "revenue": (j["rev"].to_numpy(np.int64) / 10_000.0).round(2),
             }
         )
         # local top-10 under the SAME total order as the global cut — any
