@@ -277,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_decode": q_cdc_decode,
         "avro_roundtrip": p.avro_roundtrip,
         "doc_repetition": c.doc_repetition,
+        # exact per-language length quantiles via mergeable int histograms
+        "doc_length_quantiles": c.doc_length_quantiles,
         "rollup_orders": p.rollup_orders,
         "token_count_by_lang": c.token_count_by_lang,
         # incoming-batch vs ingested-corpus anti-join (content-hash routed)
@@ -780,6 +782,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE d.doc_id % 3 = 0
               AND NOT EXISTS (SELECT 1 FROM documents e
                               WHERE e.doc_id % 3 <> 0 AND e.text = d.text)
+        """,
+        "doc_length_quantiles": """
+            SELECT coalesce(lang, '') AS lang,
+                   ROUND(quantile_cont(n_chars, 0.50), 4) AS p50,
+                   ROUND(quantile_cont(n_chars, 0.95), 4) AS p95
+            FROM documents GROUP BY coalesce(lang, '')
         """,
         "shuffle_rank": f"""
             SELECT doc_id,

@@ -504,6 +504,57 @@ def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def doc_length_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-language doc-length quantiles (p50/p95 of n_chars) with
+    the mergeable-integer-histogram machinery from parity.agg_quantiles:
+    per-batch (lang, n_chars, count) partials → one slim groupby-sum →
+    rank interpolation per language over the reduced histogram. State is
+    bounded by the LENGTH DOMAIN, never the corpus size — the corpus-stats
+    step a data curator runs before setting length filters."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pd.DataFrame(
+                {"lang": df["lang"].fillna(""), "n_chars": df["n_chars"].astype("int64")}
+            )
+            .groupby(["lang", "n_chars"], as_index=False)
+            .size()
+        )
+        return out.rename(columns={"size": "n"})
+
+    hist = (
+        _docs(sf_dir)
+        .select_columns(["lang", "n_chars"])
+        .map_batches(partial, batch_format="pandas")
+        .groupby(["lang", "n_chars"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("n_chars")
+        vals = g["n_chars"].to_numpy(np.float64)
+        cum = np.cumsum(g["n"].to_numpy(np.int64))
+        n = cum[-1]
+
+        def qc(p: float) -> float:
+            h = (n - 1) * p  # 0-based fractional rank (quantile_cont linear)
+            lo = vals[np.searchsorted(cum, int(np.floor(h)), side="right")]
+            hi = vals[np.searchsorted(cum, int(np.ceil(h)), side="right")]
+            return float(lo + (hi - lo) * (h - np.floor(h)))
+
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "p50": [round(qc(0.5), 4)],
+                "p95": [round(qc(0.95), 4)],
+            }
+        )
+
+    return hist.groupby("lang").map_groups(q, batch_format="pandas")
+
+
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
     return dd.exact_dedup(_docs(sf_dir))
 
