@@ -765,3 +765,24 @@ def test_tail_survives_pruned_and_late_files(tmp_path):
     got = cdc.read_table(root).to_pandas()
     want = sequential_lww(pa.concat_tables(epochs))
     assert_frames_equal(got, want)
+
+
+def test_tail_reprocesses_reused_name_with_new_content(tmp_path):
+    """A pruned file NAME reused for NEW content must be re-processed: the
+    applied-state entry is a (size, mtime_ns) fingerprint, so the reused
+    name mismatches and applies as a fresh epoch (a name-presence cursor
+    would silently skip it)."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=2)
+    watch = tmp_path / "incoming"
+    os.makedirs(watch)
+    root = str(tmp_path / "t")
+    os.link(files[0][0], watch / "0001.parquet")
+    cdc.tail(root, str(watch), num_partitions=4, poll_secs=0.01, max_idle_polls=2)
+    # shipper prunes, then REUSES the name for epoch 1's content
+    os.remove(watch / "0001.parquet")
+    os.link(files[1][0], watch / "0001.parquet")
+    applied = cdc.tail(root, str(watch), num_partitions=4, poll_secs=0.01, max_idle_polls=2)
+    assert len(applied) == 1, "reused name with new content was skipped"
+    got = cdc.read_table(root).to_pandas()
+    want = sequential_lww(pa.concat_tables(epochs))
+    assert_frames_equal(got, want)
