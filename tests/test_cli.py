@@ -359,6 +359,11 @@ def test_corpus_cli_ops(tmp_path):
     got = pq.read_table(out8).to_pandas()["doc_id"].tolist()
     assert got == [2]
 
+    out10 = str(tmp_path / "lq")
+    assert main(["corpus", "length-quantiles", src, out10]) == 0
+    lq = pq.read_table(out10).to_pandas()
+    assert set(lq.columns) == {"lang", "p50", "p95"} and len(lq) == 1
+
     # fully-duplicated incoming batch → EMPTY result must not crash the CLI
     out9 = str(tmp_path / "incdedup-empty")
     assert main(

@@ -470,6 +470,10 @@ def cmd_corpus(args) -> int:
         from .pipelines.corpus import dedup_incremental_ds
 
         out = dedup_incremental_ds(ds, clean_read_parquet(args.existing))
+    elif args.corpus_cmd == "length-quantiles":
+        from .pipelines.corpus import doc_length_quantiles_ds
+
+        out = doc_length_quantiles_ds(ds)
     else:  # pragma: no cover - argparse restricts choices
         raise ValueError(args.corpus_cmd)
     write_any(out, args.output, fmt="parquet")
@@ -596,6 +600,7 @@ def main(argv: list[str] | None = None) -> int:
     for name in (
         "dedup-exact", "cluster", "scrub", "quality", "repetition", "split",
         "sample", "pack", "shuffle-rank", "dedup-incremental",
+        "length-quantiles",
     ):
         cp = cosub.add_parser(name)
         cp.add_argument("input")

@@ -504,30 +504,33 @@ def dedup_incremental(sf_dir: str) -> ray.data.Dataset:
     )
 
 
-def doc_length_quantiles(sf_dir: str) -> ray.data.Dataset:
+def doc_length_quantiles_ds(docs: ray.data.Dataset) -> ray.data.Dataset:
     """Exact per-language doc-length quantiles (p50/p95 of n_chars) with
     the mergeable-integer-histogram machinery from parity.agg_quantiles:
     per-batch (lang, n_chars, count) partials → one slim groupby-sum →
     rank interpolation per language over the reduced histogram. State is
     bounded by the LENGTH DOMAIN, never the corpus size — the corpus-stats
-    step a data curator runs before setting length filters."""
+    step a data curator runs before setting length filters. Datasets
+    without an n_chars column derive it from text length."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        n_chars = (
+            df["n_chars"].astype("int64")
+            if "n_chars" in df.columns
+            else df["text"].fillna("").str.len().astype("int64")
+        )
+        lang = df["lang"].fillna("") if "lang" in df.columns else ""
         out = (
-            pd.DataFrame(
-                {"lang": df["lang"].fillna(""), "n_chars": df["n_chars"].astype("int64")}
-            )
+            pd.DataFrame({"lang": lang, "n_chars": n_chars})
             .groupby(["lang", "n_chars"], as_index=False)
             .size()
         )
         return out.rename(columns={"size": "n"})
 
     hist = (
-        _docs(sf_dir)
-        .select_columns(["lang", "n_chars"])
-        .map_batches(partial, batch_format="pandas")
+        docs.map_batches(partial, batch_format="pandas")
         .groupby(["lang", "n_chars"])
         .aggregate(Sum("n", alias_name="n"))
     )
@@ -553,6 +556,10 @@ def doc_length_quantiles(sf_dir: str) -> ray.data.Dataset:
         )
 
     return hist.groupby("lang").map_groups(q, batch_format="pandas")
+
+
+def doc_length_quantiles(sf_dir: str) -> ray.data.Dataset:
+    return doc_length_quantiles_ds(_docs(sf_dir).select_columns(["lang", "n_chars"]))
 
 
 def dedup_exact(sf_dir: str) -> ray.data.Dataset:
