@@ -1,0 +1,163 @@
+"""Incremental materialized-view maintenance (pipelines/views.py):
+exactness vs full recompute, manifest-level pruning of untouched partitions,
+no-op / compaction / delete semantics, streaming partial build."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from tinyetl_ray.pipelines import cdc
+from tinyetl_ray.pipelines.views import read_conv_stats, refresh_conv_stats
+from tinyetl_ray.schema import CHANGE_SCHEMA
+from tinyetl_ray.state import manifest as mf
+from tinyetl_ray.synth import make_changes
+
+from .util import sequential_lww
+
+
+def _write_epochs(tmp_path, n_epochs=3, n_events=3000, **kw):
+    epochs = make_changes(n_events=n_events, n_convs=40, seed=29, n_epochs=n_epochs, **kw)
+    files = []
+    for e, t in enumerate(epochs):
+        p = tmp_path / f"e{e}.parquet"
+        pq.write_table(t, p)
+        files.append([str(p)])
+    return epochs, files
+
+
+def _expected_stats(final: pd.DataFrame) -> pd.DataFrame:
+    g = final.groupby("conv_id")
+    out = pd.DataFrame(
+        {
+            "turns": g.size(),
+            "chars": g["text"].apply(lambda s: s.str.len().sum()),
+            "last_ts": g["ts"].max(),
+        }
+    ).reset_index()
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def _got_stats(view_root: str) -> pd.DataFrame:
+    df = read_conv_stats(view_root).to_pandas()
+    return df.sort_values("conv_id").reset_index(drop=True)[
+        ["conv_id", "turns", "chars", "last_ts"]
+    ]
+
+
+def _assert_stats_match(view_root: str, epochs: list[pa.Table]) -> None:
+    want = _expected_stats(sequential_lww(pa.concat_tables(epochs)))
+    got = _got_stats(view_root)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_full_refresh_matches_recompute(tmp_path):
+    epochs, files = _write_epochs(tmp_path)
+    root, view = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.replay_commit(root, files, num_partitions=8)
+    c = refresh_conv_stats(root, view)
+    assert c["stats"]["partitions_rebuilt"] > 0
+    _assert_stats_match(view, epochs)
+
+
+def test_incremental_refresh_prunes_untouched(tmp_path):
+    epochs, files = _write_epochs(tmp_path, n_epochs=2, n_events=4000)
+    root, view = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.replay_commit(root, files[:1], num_partitions=8)
+    c0 = refresh_conv_stats(root, view)
+    _assert_stats_match(view, epochs[:1])
+    by_pid0 = {m["partition"]: m for m in c0["partitions"]}
+
+    # second wave touches only one conversation -> few partitions
+    import pyarrow.compute as pc
+
+    one_conv = epochs[1].column("conv_id")[0]
+    small = epochs[1].filter(pc.equal(epochs[1].column("conv_id"), one_conv))
+    p = tmp_path / "late.parquet"
+    pq.write_table(small, p)
+    cdc.replay_commit(root, [[str(p)]], num_partitions=8, first_change_epoch=1)
+    c1 = refresh_conv_stats(root, view)
+    assert c1["stats"]["partitions_rebuilt"] < 8, "refresh rebuilt everything"
+    # untouched view partitions carried forward by manifest reference
+    rebuilt = {
+        m["partition"]
+        for m in c1["partitions"]
+        if m["epoch"] == c1["epoch"]
+    }
+    for m in c1["partitions"]:
+        if m["partition"] not in rebuilt:
+            assert m == by_pid0[m["partition"]], "carried manifest mutated"
+    _assert_stats_match(view, [epochs[0], small])
+
+
+def test_refresh_is_noop_when_current(tmp_path):
+    epochs, files = _write_epochs(tmp_path, n_epochs=1)
+    root, view = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.replay_commit(root, files, num_partitions=4)
+    c0 = refresh_conv_stats(root, view)
+    c1 = refresh_conv_stats(root, view)
+    assert c1["epoch"] == c0["epoch"] and len(mf.list_commits(view)) == 1
+
+
+def test_compaction_publishes_metadata_only_epoch(tmp_path):
+    epochs, files = _write_epochs(tmp_path, n_epochs=2)
+    root, view = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.replay_commit(root, files, num_partitions=4)
+    refresh_conv_stats(root, view)
+    cdc.compact(root, drop_tombstones=True)
+    c = refresh_conv_stats(root, view)
+    # tombstone GC never advances a watermark: nothing rebuilt, base_epoch
+    # recorded so the next refresh is a pure no-op
+    assert c["stats"]["partitions_rebuilt"] == 0
+    assert c["base_epoch"] == mf.latest_commit(root)["epoch"]
+    _assert_stats_match(view, epochs)
+    assert refresh_conv_stats(root, view)["epoch"] == c["epoch"]
+
+
+def test_delete_drops_from_stats(tmp_path):
+    epochs, files = _write_epochs(tmp_path, n_epochs=1, n_events=2000)
+    root, view = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.replay_commit(root, files, num_partitions=4)
+    refresh_conv_stats(root, view)
+    final = sequential_lww(pa.concat_tables(epochs))
+    victim = final.iloc[0]
+    max_lsn = max(int(t.column("lsn")[-1].as_py()) for t in epochs)
+    tomb = pa.table(
+        {
+            "lsn": pa.array([max_lsn + 1], pa.int64()),
+            "op": ["delete"],
+            "conv_id": [victim["conv_id"]],
+            "turn_idx": pa.array([victim["turn_idx"]], pa.int32()),
+            "role": [None],
+            "text": [None],
+            "tool": [None],
+            "ts": pa.array([pd.Timestamp("2026-01-01").value // 1000], pa.timestamp("us")),
+        }
+    ).cast(CHANGE_SCHEMA)
+    p = tmp_path / "tomb.parquet"
+    pq.write_table(tomb, p)
+    cdc.replay_commit(root, [[str(p)]], num_partitions=4, first_change_epoch=1)
+    refresh_conv_stats(root, view)
+    got = _got_stats(view)
+    want = _expected_stats(cdc.read_table(root).to_pandas())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the victim's conversation lost exactly one turn
+    before = _expected_stats(final)
+    row_b = before[before["conv_id"] == victim["conv_id"]]["turns"].iloc[0]
+    row_a = want[want["conv_id"] == victim["conv_id"]]
+    assert row_a.empty or row_a["turns"].iloc[0] == row_b - 1
+
+
+def test_streaming_build_chunks_equal_default(tmp_path):
+    epochs, files = _write_epochs(tmp_path, n_epochs=1, n_events=2500)
+    root = str(tmp_path / "t")
+    v1, v2 = str(tmp_path / "v1"), str(tmp_path / "v2")
+    cdc.replay_commit(root, files, num_partitions=4)
+    refresh_conv_stats(root, v1)
+    refresh_conv_stats(root, v2, build_chunk_rows=64)  # many chunks per partition
+    pd.testing.assert_frame_equal(_got_stats(v1), _got_stats(v2))
+    # and the chunked build's snapshots hash identically (sorted partials)
+    h1 = {m["partition"]: m["content_hash"] for m in mf.latest_commit(v1)["partitions"]}
+    h2 = {m["partition"]: m["content_hash"] for m in mf.latest_commit(v2)["partitions"]}
+    assert h1 == h2

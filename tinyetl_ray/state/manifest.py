@@ -138,6 +138,52 @@ def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str
     }
 
 
+def write_view_snapshot(
+    root: str, pid: int, epoch: int, table: pa.Table, lsn_watermark: int
+) -> dict[str, Any]:
+    """Atomic snapshot writer for DERIVED (materialized-view) tables.
+
+    Same write-then-rename + manifest shape as write_snapshot so the commit /
+    carry-forward / snapshot_files machinery applies unchanged, but makes NO
+    assumption about the column set (no lsn/op/turn_idx): the watermark is
+    supplied by the caller as the BASE-table lsn this partial reflects, and
+    the content fingerprint is a generic Arrow-IPC hash of the (caller-
+    sorted) table. Runs inside a distributed build task; retries rewrite
+    identical bytes."""
+    path = snapshot_path(root, pid, epoch)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path), prefix=".tmp-", suffix=".parquet"
+    )
+    os.close(fd)
+    try:
+        pq.write_table(table, tmp)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+    import pyarrow.ipc as ipc
+
+    sink = pa.BufferOutputStream()
+    with ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    fp = hashlib.sha256(sink.getvalue().to_pybytes()).hexdigest()
+    return {
+        "partition": pid,
+        "epoch": epoch,
+        "file": os.path.relpath(path, root),
+        "rows": len(table),
+        "tombstones": 0,
+        "live_rows": len(table),
+        "lsn_watermark": int(lsn_watermark),
+        "max_turn_idx": -1,
+        "content_hash": fp,
+    }
+
+
 def write_snapshot_chunks(
     root: str, pid: int, epoch: int, chunks, schema: pa.Schema
 ) -> dict[str, Any]:
