@@ -209,6 +209,42 @@ def q_cdc_lifecycle(sf_dir: str) -> ray.data.Dataset:
     return cdc.changes_since(root, after_epoch=c0[0]["epoch"])
 
 
+def q_view_conv_stats(sf_dir: str) -> ray.data.Dataset:
+    """Incremental materialized view (pipelines/views.py): commit epoch 0 of
+    the derived log, refresh the per-conversation stats view, commit epoch 1,
+    refresh AGAIN — the second refresh rebuilds only partitions whose base
+    lsn_watermark advanced (manifest diff; untouched partials carry forward
+    by reference). Returns the combined view, which the oracle recomputes as
+    a full windowed LWW replay + aggregate — so the driver's value hash
+    proves the incremental path equals a from-scratch recompute."""
+    from tinyetl_ray.pipelines.views import read_conv_stats, refresh_conv_stats
+
+    tmp = tempfile.mkdtemp(prefix="tinyetl-view-")
+    files = _epoch_files(sf_dir, tmp)
+    root, view = os.path.join(tmp, "table"), os.path.join(tmp, "view")
+    cdc.replay_commit(root, files[:1], num_partitions=64)
+    refresh_conv_stats(root, view)
+    cdc.replay_commit(root, files, num_partitions=64)
+    c = refresh_conv_stats(root, view)
+    assert refresh_conv_stats(root, view)["epoch"] == c["epoch"], (
+        "refresh of an up-to-date view must be a no-op"
+    )
+    return read_conv_stats(view)
+
+
+_VIEW_STATS_SQL = """
+WITH ch AS ({derive}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ch
+)
+SELECT conv_id, COUNT(*) AS turns,
+       CAST(SUM(length(text)) AS BIGINT) AS chars, MAX(ts) AS last_ts
+FROM ranked WHERE rn = 1 AND op = 'upsert' GROUP BY conv_id
+"""
+
+
 _LIFECYCLE_SQL = """
 WITH ch AS ({derive}),
 ranked AS (
@@ -354,6 +390,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-travel assert → changes_since (the returned, hashed result)
         "cdc_lifecycle": q_cdc_lifecycle,
         # --- heavy tail (≥9s at sf0.01): dedup/LSH family LAST ---
+        # incremental materialized view: manifest-pruned refresh across two
+        # base commits, hashed against a from-scratch windowed recompute
+        # (~15s: two committed replays + two refreshes + combine read)
+        "view_conv_stats": q_view_conv_stats,
         "dedup_ngram_jaccard": c.dedup_ngram_jaccard,
         "simsearch_ivf": c.simsearch_ivf,  # recall-contract row (see oracle)
         "embedding_neardup_lsh": c.embedding_neardup_lsh,
@@ -469,6 +509,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lifecycle": _LIFECYCLE_SQL.format(
             derive=DERIVE_SQL, thr=EVOLVE_LSN_THRESHOLD
         ),
+        "view_conv_stats": _VIEW_STATS_SQL.format(derive=DERIVE_SQL),
         "cdc_replay_evolved": lww_evolved,
         "cdc_replay_resume": lww_evolved,
         "cdc_events_per_conv": f"""

@@ -147,6 +147,17 @@ def test_cdc_cli_flow(tmp_path, capsys):
     assert json.loads(capsys.readouterr().out.strip().splitlines()[-1])["epoch"] == 2
     assert main(["cdc", "show", root]) == 0
     assert "rows:" in capsys.readouterr().out
+    # materialized view: refresh builds every partial, second refresh no-ops
+    view = str(tmp_path / "view")
+    assert main(["cdc", "view-refresh", root, view]) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["partitions_rebuilt"] > 0
+    assert main(["cdc", "view-refresh", root, view]) == 0
+    again = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert again["epoch"] == first["epoch"]
+    assert main(["cdc", "view-show", view]) == 0
+    out = capsys.readouterr().out
+    assert "rows: 10" in out and "conv_id" in out
 
 
 # ---------------------------------------------------------------------------

@@ -417,6 +417,25 @@ def cmd_cdc(args) -> int:
             args.table, args.dest, num_partitions=args.partitions
         )
         print(json.dumps({"epoch": c["epoch"], "num_partitions": c["num_partitions"]}))
+    elif args.cdc_cmd == "view-refresh":
+        from .pipelines.views import refresh_conv_stats
+
+        c = refresh_conv_stats(args.table, args.view)
+        print(
+            json.dumps(
+                {
+                    "epoch": c["epoch"],
+                    "base_epoch": c["base_epoch"],
+                    "partitions_rebuilt": c["stats"]["partitions_rebuilt"],
+                }
+            )
+        )
+    elif args.cdc_cmd == "view-show":
+        from .pipelines.views import read_conv_stats
+
+        ds = read_conv_stats(args.view)
+        print(ds.schema())
+        print("rows:", ds.count())
     elif args.cdc_cmd == "tail":
         commits = cdc.tail(
             args.table,
@@ -584,6 +603,15 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("table")
     rp.add_argument("dest")
     rp.add_argument("--partitions", type=int, required=True)
+    vr = csub.add_parser(
+        "view-refresh",
+        help="bring the conv_stats materialized view up to the base table's "
+        "latest commit (rebuilds only changed partitions)",
+    )
+    vr.add_argument("table")
+    vr.add_argument("view")
+    vs = csub.add_parser("view-show")
+    vs.add_argument("view")
     tl = csub.add_parser("tail", help="watch a directory, apply new change files")
     tl.add_argument("table")
     tl.add_argument("watch_dir")
