@@ -197,6 +197,44 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
             len(inc) / queries["cdc_incremental_epoch"]
         )
 
+        # --- materialized view: full build vs manifest-pruned refresh ----
+        from tinyetl_ray.pipelines.views import refresh_conv_stats
+
+        view_root = os.path.join(work, "view")
+        t0 = time.perf_counter()
+        refresh_conv_stats(os.path.join(work, "table"), view_root)
+        queries["view_build_full"] = round(time.perf_counter() - t0, 3)
+        # narrow tail epoch — one conversation gains turns (the realistic
+        # CDC-tail shape); the refresh rebuilds only the partitions whose
+        # base watermark advanced, everything else carries forward
+        one_conv = inc.column("conv_id")[0]
+        narrow = inc.filter(pc.equal(inc.column("conv_id"), one_conv))
+        narrow = narrow.set_column(
+            narrow.column_names.index("lsn"),
+            "lsn",
+            pc.add(narrow.column("lsn"), 10_000_000_000),
+        )
+        # bump ts too so the late events WIN the last-writer-wins merge:
+        # events that lose LWW leave the surviving rows (and therefore the
+        # partition watermark and the view) correctly untouched
+        narrow = narrow.set_column(
+            narrow.column_names.index("ts"),
+            "ts",
+            pc.add(narrow.column("ts").cast(pa.int64()), 172_800_000_000).cast(
+                pa.timestamp("us")
+            ),  # +2 days: past the whole log's ~11h event-time span
+        )
+        narrow_path = os.path.join(work, "narrow.parquet")
+        pq.write_table(narrow, narrow_path)
+        cdc.replay_commit(
+            os.path.join(work, "table"), [wide_files, [inc_path], [narrow_path]],
+            num_partitions=NUM_PARTITIONS,
+        )
+        t0 = time.perf_counter()
+        c_inc = refresh_conv_stats(os.path.join(work, "table"), view_root)
+        queries["view_refresh_incremental"] = round(time.perf_counter() - t0, 3)
+        queries["view_partitions_rebuilt"] = c_inc["stats"]["partitions_rebuilt"]
+
         # --- churn profile: events-table-derived log, ~7k hot keys ------
         changes_dir = os.path.join(work, "changes")
         t0 = time.perf_counter()

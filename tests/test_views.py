@@ -149,6 +149,38 @@ def test_delete_drops_from_stats(tmp_path):
     assert row_a.empty or row_a["turns"].iloc[0] == row_b - 1
 
 
+def test_losing_lww_epoch_rebuilds_nothing(tmp_path):
+    """An epoch whose events all LOSE last-writer-wins (older ts than the
+    incumbents, despite higher lsn) changes no surviving row — the partition
+    watermarks (max lsn of SURVIVING rows) stay put, so the view refresh
+    publishes a metadata-only epoch and the stats remain exact."""
+    import pyarrow.compute as pc
+
+    epochs, files = _write_epochs(tmp_path, n_epochs=1, n_events=2000)
+    root, view = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.replay_commit(root, files, num_partitions=8)
+    refresh_conv_stats(root, view)
+
+    stale = epochs[0].set_column(
+        epochs[0].column_names.index("lsn"),
+        "lsn",
+        pc.add(epochs[0].column("lsn"), 1_000_000),
+    )
+    stale = stale.set_column(
+        stale.column_names.index("ts"),
+        "ts",
+        pc.subtract(stale.column("ts").cast(pa.int64()), 86_400_000_000).cast(
+            pa.timestamp("us")
+        ),
+    )
+    p = tmp_path / "stale.parquet"
+    pq.write_table(stale, p)
+    cdc.replay_commit(root, [[str(p)]], num_partitions=8, first_change_epoch=1)
+    c = refresh_conv_stats(root, view)
+    assert c["stats"]["partitions_rebuilt"] == 0
+    _assert_stats_match(view, epochs)
+
+
 def test_streaming_build_chunks_equal_default(tmp_path):
     epochs, files = _write_epochs(tmp_path, n_epochs=1, n_events=2500)
     root = str(tmp_path / "t")
