@@ -209,6 +209,28 @@ def q_cdc_lifecycle(sf_dir: str) -> ray.data.Dataset:
     return cdc.changes_since(root, after_epoch=c0[0]["epoch"])
 
 
+def q_cdc_restore(sf_dir: str) -> ray.data.Dataset:
+    """Rollback path: commit two epochs, take a zero-copy clone of the
+    final state, restore the ORIGINAL to its first epoch, and return the
+    restored table — which the oracle recomputes as an LWW replay over
+    wave-0 events only. Proves restore re-references the exact epoch-0
+    snapshots, and that the clone is independent (its manifest is
+    bit-identical after the source's rollback)."""
+    from tinyetl_ray.state import manifest as mf
+
+    tmp = tempfile.mkdtemp(prefix="tinyetl-restore-")
+    files = _epoch_files(sf_dir, tmp)
+    root = os.path.join(tmp, "table")
+    clone = os.path.join(tmp, "clone")
+    cdc.replay_commit(root, files, num_partitions=64)
+    cdc.clone_table(root, clone)
+    clone_before = mf.latest_commit(clone)
+    c = cdc.restore(root, 0)
+    assert c["restored_from_epoch"] == 0
+    assert mf.latest_commit(clone) == clone_before, "restore disturbed clone"
+    return cdc.read_table(root)
+
+
 def q_view_conv_stats(sf_dir: str) -> ray.data.Dataset:
     """Incremental materialized view (pipelines/views.py): commit epoch 0 of
     the derived log, refresh the per-conversation stats view, commit epoch 1,
@@ -394,6 +416,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # base commits, hashed against a from-scratch windowed recompute
         # (~15s: two committed replays + two refreshes + combine read)
         "view_conv_stats": q_view_conv_stats,
+        # rollback: restore-to-epoch-0 after a zero-copy clone of the final
+        # state; oracle replays wave-0 only (~10s: commit + clone + restore)
+        "cdc_restore": q_cdc_restore,
         "dedup_ngram_jaccard": c.dedup_ngram_jaccard,
         "simsearch_ivf": c.simsearch_ivf,  # recall-contract row (see oracle)
         "embedding_neardup_lsh": c.embedding_neardup_lsh,
@@ -510,6 +535,11 @@ def oracle_sql() -> dict[str, str]:
             derive=DERIVE_SQL, thr=EVOLVE_LSN_THRESHOLD
         ),
         "view_conv_stats": _VIEW_STATS_SQL.format(derive=DERIVE_SQL),
+        "cdc_restore": _LWW_SQL.format(
+            derive=f"SELECT * FROM ({DERIVE_SQL}) "
+            f"WHERE lsn < {EVOLVE_LSN_THRESHOLD}",
+            cols=payload,
+        ),
         "cdc_replay_evolved": lww_evolved,
         "cdc_replay_resume": lww_evolved,
         "cdc_events_per_conv": f"""

@@ -158,6 +158,14 @@ def test_cdc_cli_flow(tmp_path, capsys):
     assert main(["cdc", "view-show", view]) == 0
     out = capsys.readouterr().out
     assert "rows: 10" in out and "conv_id" in out
+    # clone then restore the clone's SOURCE back to epoch 0
+    dst = str(tmp_path / "clone")
+    assert main(["cdc", "clone", root, dst]) == 0
+    cl = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert cl["epoch"] == 0 and cl["cloned_from"]["epoch"] == 2
+    assert main(["cdc", "restore", root, "0"]) == 0
+    rs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rs["restored_from_epoch"] == 0 and rs["epoch"] == 3
 
 
 # ---------------------------------------------------------------------------

@@ -417,6 +417,13 @@ def cmd_cdc(args) -> int:
             args.table, args.dest, num_partitions=args.partitions
         )
         print(json.dumps({"epoch": c["epoch"], "num_partitions": c["num_partitions"]}))
+    elif args.cdc_cmd == "restore":
+        c = cdc.restore(args.table, args.epoch)
+        print(json.dumps({"epoch": c["epoch"],
+                          "restored_from_epoch": c.get("restored_from_epoch")}))
+    elif args.cdc_cmd == "clone":
+        c = cdc.clone_table(args.src, args.dest, at_epoch=args.at_epoch)
+        print(json.dumps({"epoch": c["epoch"], "cloned_from": c["cloned_from"]}))
     elif args.cdc_cmd == "view-refresh":
         from .pipelines.views import refresh_conv_stats
 
@@ -603,6 +610,17 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("table")
     rp.add_argument("dest")
     rp.add_argument("--partitions", type=int, required=True)
+    rs = csub.add_parser(
+        "restore", help="roll the table back to an older epoch as a NEW commit"
+    )
+    rs.add_argument("table")
+    rs.add_argument("epoch", type=int)
+    cl = csub.add_parser(
+        "clone", help="zero-copy clone (hardlinked snapshots) into a new root"
+    )
+    cl.add_argument("src")
+    cl.add_argument("dest")
+    cl.add_argument("--at-epoch", dest="at_epoch", type=int, default=None)
     vr = csub.add_parser(
         "view-refresh",
         help="bring the conv_stats materialized view up to the base table's "

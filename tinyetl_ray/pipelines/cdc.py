@@ -989,3 +989,123 @@ def changes_since(table_root: str, after_epoch: int) -> ray.data.Dataset:
         lambda t, w=wm: t.filter(pc.greater(t.column("lsn"), w)),
         batch_format="pyarrow",
     )
+
+
+def restore(table_root: str, to_epoch: int) -> dict[str, Any]:
+    """Roll the table back to an older commit by publishing a NEW commit
+    that re-references the target epoch's snapshot files (the Delta-RESTORE
+    analog; the reference engine has no lineage at all — every TinyETL run
+    overwrites its target, /root/reference/src/transfer.rs:22-118).
+
+    Metadata-only and O(#partitions): snapshots are immutable, so nothing is
+    read or rewritten at any table size. History is preserved — the rolled-
+    back commits remain as lineage (a later vacuum can GC their files), and
+    the restore itself is a commit, so it is OCC-guarded, time-travelable
+    and restorable again. Watermarks and last_change_epoch revert with the
+    manifest rows, so a subsequent replay_commit resume re-applies exactly
+    the change epochs that came after the restored state.
+
+    Raises FileNotFoundError if any snapshot the target epoch needs was
+    already vacuumed, and ValueError for an unknown epoch."""
+    commits = mf.list_commits(table_root)
+    if not commits:
+        raise FileNotFoundError(f"no committed epoch under {table_root}")
+    target = next((c for c in commits if c["epoch"] == to_epoch), None)
+    if target is None:
+        raise ValueError(f"no commit at epoch {to_epoch} under {table_root}")
+    cur = commits[-1]
+    if cur["epoch"] == to_epoch:
+        return cur  # already there: no-op, publish nothing
+    missing = [
+        m["file"]
+        for m in target["partitions"]
+        if m["rows"] > 0 and not os.path.exists(os.path.join(table_root, m["file"]))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot restore {table_root} to epoch {to_epoch}: "
+            f"{len(missing)} snapshot file(s) vacuumed, e.g. {missing[0]}"
+        )
+    extra = {
+        k: target[k]
+        for k in ("num_partitions", "turn_block", "last_change_epoch")
+        if k in target
+    }
+    extra["restored_from_epoch"] = int(to_epoch)
+    return mf.commit_epoch(
+        table_root,
+        cur["epoch"] + 1,
+        [dict(m) for m in target["partitions"]],
+        stats={"restored_from_epoch": int(to_epoch)},
+        schema=mf.schema_from_b64(target["schema_b64"])
+        if "schema_b64" in target
+        else None,
+        extra=extra,
+        expected_prev_epoch=cur["epoch"],
+    )
+
+
+def clone_table(
+    src_root: str, dst_root: str, at_epoch: int | None = None
+) -> dict[str, Any]:
+    """Zero-copy clone of a committed table (Delta SHALLOW-CLONE analog,
+    but self-contained): hardlink the chosen commit's immutable snapshot
+    files into ``dst_root`` and publish them as the clone's epoch 0.
+
+    O(#partitions) metadata + link syscalls — no data bytes move on the
+    same filesystem (falls back to a file copy across devices). The clone
+    is fully independent afterwards: commits, compaction and vacuum on
+    either side never change the other's visible state (vacuum merely
+    unlinks one name of a shared inode; the bytes live until the last
+    reference drops). ``at_epoch`` clones a TIME-TRAVEL state instead of
+    the latest commit."""
+    import shutil
+
+    if mf.latest_commit(dst_root) is not None:
+        raise FileExistsError(f"{dst_root} already holds a committed table")
+    if at_epoch is None:
+        commit = mf.latest_commit(src_root)
+        if commit is None:
+            raise FileNotFoundError(f"no committed epoch under {src_root}")
+    else:
+        commit = next(
+            (c for c in mf.list_commits(src_root) if c["epoch"] == at_epoch), None
+        )
+        if commit is None:
+            raise ValueError(f"no commit at epoch {at_epoch} under {src_root}")
+    manifests = []
+    for m in commit["partitions"]:
+        d = dict(m)
+        d["epoch"] = 0
+        if m["rows"] > 0:
+            src_p = os.path.join(src_root, m["file"])
+            dst_p = mf.snapshot_path(dst_root, int(m["partition"]), 0)
+            os.makedirs(os.path.dirname(dst_p), exist_ok=True)
+            try:
+                os.link(src_p, dst_p)
+            except FileExistsError:
+                pass  # idempotent retry: the immutable link already exists
+            except OSError:
+                shutil.copy2(src_p, dst_p)  # cross-device fallback
+            d["file"] = os.path.relpath(dst_p, dst_root)
+        manifests.append(d)
+    extra = {
+        k: commit[k]
+        for k in ("num_partitions", "turn_block", "last_change_epoch")
+        if k in commit
+    }
+    extra["cloned_from"] = {
+        "root": os.path.abspath(src_root),
+        "epoch": int(commit["epoch"]),
+    }
+    return mf.commit_epoch(
+        dst_root,
+        0,
+        manifests,
+        stats={"cloned_from_epoch": int(commit["epoch"])},
+        schema=mf.schema_from_b64(commit["schema_b64"])
+        if "schema_b64" in commit
+        else None,
+        extra=extra,
+        expected_prev_epoch=-1,
+    )
