@@ -166,6 +166,9 @@ def test_cdc_cli_flow(tmp_path, capsys):
     assert main(["cdc", "restore", root, "0"]) == 0
     rs = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rs["restored_from_epoch"] == 0 and rs["epoch"] == 3
+    assert main(["cdc", "fsck", root]) == 0
+    fsck = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert fsck["ok"] and fsck["checked"] > 0
 
 
 # ---------------------------------------------------------------------------

@@ -417,6 +417,10 @@ def cmd_cdc(args) -> int:
             args.table, args.dest, num_partitions=args.partitions
         )
         print(json.dumps({"epoch": c["epoch"], "num_partitions": c["num_partitions"]}))
+    elif args.cdc_cmd == "fsck":
+        r = cdc.fsck(args.table, all_epochs=args.all_epochs)
+        print(json.dumps(r))
+        return 0 if r["ok"] else 1
     elif args.cdc_cmd == "restore":
         c = cdc.restore(args.table, args.epoch)
         print(json.dumps({"epoch": c["epoch"],
@@ -610,6 +614,11 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("table")
     rp.add_argument("dest")
     rp.add_argument("--partitions", type=int, required=True)
+    fs = csub.add_parser(
+        "fsck", help="audit snapshot integrity (hashes, missing files, orphans)"
+    )
+    fs.add_argument("table")
+    fs.add_argument("--all-epochs", action="store_true", dest="all_epochs")
     rs = csub.add_parser(
         "restore", help="roll the table back to an older epoch as a NEW commit"
     )

@@ -1109,3 +1109,109 @@ def clone_table(
         extra=extra,
         expected_prev_epoch=-1,
     )
+
+
+def fsck(table_root: str, all_epochs: bool = False) -> dict[str, Any]:
+    """Distributed integrity audit (read-only): recompute every referenced
+    snapshot's content fingerprint and compare to its manifest entry.
+
+    Reports
+      - ``missing``  — manifest references a file that does not exist
+      - ``corrupt``  — recomputed fingerprint differs (bit rot, torn write,
+        or out-of-band mutation of an "immutable" snapshot)
+      - ``orphans``  — parquet files under parts/ that NO commit references
+        (debris from a writer that died before its commit published; safe
+        to delete, and vacuum-style GC never sees them because it walks
+        manifests of retained commits)
+
+    Verification fans out one Ray task batch per snapshot and STREAMS each
+    file row-group-wise through the same chunking-invariant fingerprint the
+    writers used — a 100 TB audit never holds a partition in one heap.
+    Checks the latest commit by default; ``all_epochs`` audits every
+    still-materialized epoch (skipping vacuumed files, which are expected
+    to be gone). View snapshots (no lsn column) recompute the generic
+    Arrow-IPC hash write_view_snapshot used."""
+    commits = mf.list_commits(table_root)
+    if not commits:
+        raise FileNotFoundError(f"no committed epoch under {table_root}")
+    chosen = commits if all_epochs else commits[-1:]
+    latest_epoch = commits[-1]["epoch"]
+
+    # (file, expected_hash) for every referenced live snapshot; dedup —
+    # carried-forward manifests reference the same file across epochs
+    ref: dict[str, str] = {}
+    missing: list[str] = []
+    for c in chosen:
+        for m in c["partitions"]:
+            if m["rows"] <= 0:
+                continue
+            f = m["file"]
+            p = os.path.join(table_root, f)
+            if not os.path.exists(p):
+                # vacuumed files in old epochs are expected; in the LATEST
+                # commit a missing file is table-breaking
+                if c["epoch"] == latest_epoch:
+                    missing.append(f)
+                continue
+            ref.setdefault(f, m["content_hash"])
+
+    def _check(batch: pa.Table, root: str = table_root) -> pa.Table:
+        import hashlib as _hl
+
+        import pyarrow.ipc as _ipc
+
+        out_f, out_ok, out_got = [], [], []
+        for row in batch.to_pylist():
+            path = os.path.join(root, row["file"])
+            pf = pq.ParquetFile(path)
+            names = pf.schema_arrow.names
+            if {"lsn", "conv_id", "turn_idx"} <= set(names):
+                fp = mf._Fingerprint()
+                for rb in pf.iter_batches(
+                    batch_size=1 << 20, columns=["conv_id", "turn_idx", "lsn"]
+                ):
+                    fp.update(pa.Table.from_batches([rb]))
+                got = fp.hexdigest()
+            else:  # derived/view snapshot: generic whole-table IPC hash
+                t = pf.read()
+                sink = pa.BufferOutputStream()
+                with _ipc.new_stream(sink, t.schema) as w:
+                    w.write_table(t)
+                got = _hl.sha256(sink.getvalue().to_pybytes()).hexdigest()
+            out_f.append(row["file"])
+            out_ok.append(got == row["expect"])
+            out_got.append(got)
+        return pa.table({"file": out_f, "ok": out_ok, "got": out_got})
+
+    corrupt: list[str] = []
+    if ref:
+        items = [{"file": f, "expect": h} for f, h in sorted(ref.items())]
+        ds = ray.data.from_items(items, override_num_blocks=len(items))
+        for t in ds.map_batches(_check, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"
+        ):
+            for row in t.to_pylist():
+                if not row["ok"]:
+                    corrupt.append(row["file"])
+
+    all_ref = {
+        os.path.abspath(os.path.join(table_root, m["file"]))
+        for c in commits
+        for m in c["partitions"]
+        if m["rows"] > 0
+    }
+    orphans: list[str] = []
+    parts_dir = os.path.join(table_root, mf.PARTS_DIR)
+    for dirpath, _dirs, fnames in os.walk(parts_dir):
+        for f in fnames:
+            p = os.path.abspath(os.path.join(dirpath, f))
+            if p.endswith(".parquet") and p not in all_ref:
+                orphans.append(os.path.relpath(p, table_root))
+    return {
+        "ok": not (missing or corrupt),
+        "checked": len(ref),
+        "epochs_audited": [c["epoch"] for c in chosen],
+        "missing": sorted(missing),
+        "corrupt": sorted(corrupt),
+        "orphans": sorted(orphans),
+    }
