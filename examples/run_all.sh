@@ -148,6 +148,20 @@ assert rows(\"$OUT/08_rank\") == 40               # a full permutation
 assert rows(\"$OUT/08_inc\") == 5                 # docs 0-4 are new, 5-9 exist
 " 2>/dev/null'
 
+# 09: table lifecycle — materialized view, zero-copy clone, rollback, fsck.
+# Reuses example 05's committed table (epochs 0..2 incl. the compaction).
+python -m tinyetl_ray.cli cdc view-refresh "$OUT/05_table" "$OUT/09_view" > "$OUT/09_view.json" 2>/dev/null
+python -m tinyetl_ray.cli cdc clone "$OUT/05_table" "$OUT/09_clone" > "$OUT/09_clone.json" 2>/dev/null
+python -m tinyetl_ray.cli cdc restore "$OUT/05_table" 0 > "$OUT/09_restore.json" 2>/dev/null
+python -m tinyetl_ray.cli cdc fsck "$OUT/05_table" > "$OUT/09_fsck.json" 2>/dev/null
+fsck_rc=$?
+python -m tinyetl_ray.cli cdc view-show "$OUT/09_view" > "$OUT/09_show.txt" 2>/dev/null
+check "09_lifecycle" 'grep -q "\"partitions_rebuilt\"" "$OUT/09_view.json" \
+  && grep -q "\"cloned_from\"" "$OUT/09_clone.json" \
+  && grep -q "\"restored_from_epoch\": 0" "$OUT/09_restore.json" \
+  && grep -q "\"ok\": true" "$OUT/09_fsck.json" && [ "$fsck_rc" -eq 0 ] \
+  && grep -qE "rows: [1-9]" "$OUT/09_show.txt"'
+
 echo "----------------------------------------"
 echo "examples: $pass passed, $fail failed (out: $OUT)"
 [ "$fail" -eq 0 ]
