@@ -181,6 +181,25 @@ def test_losing_lww_epoch_rebuilds_nothing(tmp_path):
     _assert_stats_match(view, epochs)
 
 
+def test_refresh_follows_base_restore(tmp_path):
+    """Rolling the BASE back (cdc.restore) regresses partition watermarks —
+    the refresh must detect the inequality and rebuild, or the view would
+    silently keep the rolled-back state."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=2)
+    root, view = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.replay_commit(root, files, num_partitions=8)
+    refresh_conv_stats(root, view)
+    _assert_stats_match(view, epochs)
+    cdc.restore(root, 0)
+    c = refresh_conv_stats(root, view)
+    assert c["stats"]["partitions_rebuilt"] > 0
+    _assert_stats_match(view, epochs[:1])
+    # rolling forward again (restore to the pre-rollback epoch) re-syncs too
+    cdc.restore(root, 1)
+    refresh_conv_stats(root, view)
+    _assert_stats_match(view, epochs)
+
+
 def test_streaming_build_chunks_equal_default(tmp_path):
     epochs, files = _write_epochs(tmp_path, n_epochs=1, n_events=2500)
     root = str(tmp_path / "t")

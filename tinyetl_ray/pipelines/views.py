@@ -119,11 +119,17 @@ def refresh_conv_stats(
     if prev is not None and prev.get("base_epoch") == base["epoch"]:
         return prev
     prev_wm = mf.partition_watermarks(prev)
+    # INEQUALITY, not advance: normal commits only ever raise a partition's
+    # watermark (compaction explicitly floors it, cdc.py _rewrite_parts), so
+    # a REGRESSION means the base was cdc.restore()d to an older epoch — the
+    # view must rebuild those partitions or it would silently keep the
+    # rolled-back state. Equal watermark ⇒ identical surviving upserts
+    # (changed winners always carry a higher lsn) ⇒ skip is exact.
     changed = [
         m
         for m in base["partitions"]
         if m["partition"] not in prev_wm
-        or m["lsn_watermark"] > prev_wm[m["partition"]]
+        or m["lsn_watermark"] != prev_wm[m["partition"]]
     ]
     epoch = prev["epoch"] + 1 if prev is not None else 0
     new_rows: list[dict[str, Any]] = []
