@@ -407,18 +407,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": c.dedup_simhash,
         "ngram_topk": c.ngram_topk,
         "q3_shipping_priority": p.q3_shipping_priority,
+        # rollback: restore-to-epoch-0 after a zero-copy clone of the final
+        # state; oracle replays wave-0 only (measured 4.4s at sf0.01)
+        "cdc_restore": q_cdc_restore,
         "agg_quantiles": p.agg_quantiles,
+        # incremental materialized view: manifest-pruned refresh across two
+        # base commits, hashed against a from-scratch windowed recompute
+        "view_conv_stats": q_view_conv_stats,
         # composed table-ops lifecycle: tail → compact → vacuum →
         # time-travel assert → changes_since (the returned, hashed result)
         "cdc_lifecycle": q_cdc_lifecycle,
         # --- heavy tail (≥9s at sf0.01): dedup/LSH family LAST ---
-        # incremental materialized view: manifest-pruned refresh across two
-        # base commits, hashed against a from-scratch windowed recompute
-        # (~15s: two committed replays + two refreshes + combine read)
-        "view_conv_stats": q_view_conv_stats,
-        # rollback: restore-to-epoch-0 after a zero-copy clone of the final
-        # state; oracle replays wave-0 only (~10s: commit + clone + restore)
-        "cdc_restore": q_cdc_restore,
         "dedup_ngram_jaccard": c.dedup_ngram_jaccard,
         "simsearch_ivf": c.simsearch_ivf,  # recall-contract row (see oracle)
         "embedding_neardup_lsh": c.embedding_neardup_lsh,
