@@ -214,15 +214,28 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
             "lsn",
             pc.add(narrow.column("lsn"), 10_000_000_000),
         )
-        # bump ts too so the late events WIN the last-writer-wins merge:
-        # events that lose LWW leave the surviving rows (and therefore the
-        # partition watermark and the view) correctly untouched
+        # bump ts past the WHOLE log's event-time span (footer stats only —
+        # the span grows with n_events) so the late events WIN the
+        # last-writer-wins merge: events that lose LWW leave the surviving
+        # rows (and therefore the partition watermark and the view)
+        # correctly untouched
+        def _max_ts_us(paths: list[str]) -> int:
+            hi = None
+            for f in paths:
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.to_arrow_schema().names.index("ts")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        v = st.max
+                        hi = v if hi is None or v > hi else hi
+            return int(pa.scalar(hi, pa.timestamp("us")).cast(pa.int64()).as_py())
+
+        late_ts = _max_ts_us(wide_files) + 3_600_000_000  # global max + 1h
         narrow = narrow.set_column(
             narrow.column_names.index("ts"),
             "ts",
-            pc.add(narrow.column("ts").cast(pa.int64()), 172_800_000_000).cast(
-                pa.timestamp("us")
-            ),  # +2 days: past the whole log's ~11h event-time span
+            pa.array([late_ts] * len(narrow), pa.int64()).cast(pa.timestamp("us")),
         )
         narrow_path = os.path.join(work, "narrow.parquet")
         pq.write_table(narrow, narrow_path)
