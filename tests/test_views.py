@@ -41,6 +41,8 @@ def _expected_stats(final: pd.DataFrame) -> pd.DataFrame:
 
 def _got_stats(view_root: str) -> pd.DataFrame:
     df = read_conv_stats(view_root).to_pandas()
+    if df.empty:  # Ray drops empty blocks, so a 0-row dataset loses columns
+        return df
     return df.sort_values("conv_id").reset_index(drop=True)[
         ["conv_id", "turns", "chars", "last_ts"]
     ]
@@ -198,6 +200,77 @@ def test_refresh_follows_base_restore(tmp_path):
     cdc.restore(root, 1)
     refresh_conv_stats(root, view)
     _assert_stats_match(view, epochs)
+
+
+from hypothesis import strategies as _st
+
+_event = _st.tuples(
+    _st.sampled_from(["upsert", "delete"]),
+    _st.integers(0, 3),  # conv
+    _st.integers(0, 3),  # turn
+    _st.integers(0, 5),  # ts bucket (collisions on purpose)
+    _st.text(alphabet="abcxyz ", min_size=0, max_size=8),
+)
+
+
+def _epoch_table(events, lsn0):
+    import numpy as np
+
+    n = len(events)
+    return pa.table(
+        {
+            "lsn": pa.array(np.arange(lsn0, lsn0 + n, dtype=np.int64)),
+            "op": [e[0] for e in events],
+            "conv_id": [f"c{e[1]}" for e in events],
+            "turn_idx": pa.array([e[2] for e in events], pa.int32()),
+            "role": ["user"] * n,
+            "text": [None if e[0] == "delete" else e[4] for e in events],
+            "tool": [None] * n,
+            "ts": pa.array([1_000_000 * e[3] for e in events], pa.timestamp("us")),
+        }
+    ).cast(CHANGE_SCHEMA)
+
+
+def test_view_refresh_property(tmp_path_factory):
+    """Property: for ARBITRARY epoch sequences (ts collisions, deletes,
+    duplicate keys — including epochs that entirely lose LWW), refreshing
+    after every commit always equals a from-scratch recompute of the
+    current state's stats."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        eps=st.lists(
+            st.lists(_event, min_size=1, max_size=20), min_size=1, max_size=3
+        )
+    )
+    def run(eps):
+        tmp = tmp_path_factory.mktemp("views-prop")
+        root, view = str(tmp / "t"), str(tmp / "v")
+        files, tables = [], []
+        for i, ev in enumerate(eps):
+            t = _epoch_table(ev, i * 1000)
+            p = str(tmp / f"e{i}.parquet")
+            pq.write_table(t, p)
+            files.append([p])
+            tables.append(t)
+            cdc.replay_commit(root, files, num_partitions=3)
+            refresh_conv_stats(root, view)
+            final = sequential_lww(pa.concat_tables(tables))
+            got = _got_stats(view)
+            if final.empty:  # every winner is a delete: view must be empty
+                assert len(got) == 0
+            else:
+                pd.testing.assert_frame_equal(
+                    got, _expected_stats(final), check_dtype=False
+                )
+
+    run()
 
 
 def test_streaming_build_chunks_equal_default(tmp_path):

@@ -196,7 +196,12 @@ def read_conv_stats(view_root: str) -> ray.data.Dataset:
     per-conversation stats. The combine is a groupby over ~#conversations
     partial rows — tiny relative to the base table; most conversations have
     exactly one partial (only turn-range-salted hot conversations span
-    base partitions)."""
+    base partitions).
+
+    A fully-empty view (every surviving base row deleted) yields a 0-row
+    dataset; note Ray Data drops empty blocks, so ``to_pandas()`` on that
+    result has no columns — callers needing the schema of an empty result
+    should consult VIEW_PARTIAL_SCHEMA."""
     from ray.data.aggregate import Max, Sum
 
     commit = mf.latest_commit(view_root)
