@@ -4,6 +4,8 @@ table) or write_snapshot_chunks (any chunk boundaries / spill settings)."""
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -43,10 +45,11 @@ def test_hash_identical_across_writers_and_chunkings(tmp_path):
         assert m["content_hash"] == m_whole["content_hash"], sizes
         assert m["rows"] == m_whole["rows"]
         assert m["lsn_watermark"] == m_whole["lsn_watermark"]
-        # files are byte-comparable rows too
-        assert pq.read_table(
-            mf.snapshot_path(root, pid, 0)
-        ).equals(pq.read_table(mf.snapshot_path(root, 0, 0)))
+        # files are byte-comparable rows too (resolve via the manifest's
+        # content-addressed file names)
+        assert pq.read_table(os.path.join(root, m["file"])).equals(
+            pq.read_table(os.path.join(root, m_whole["file"]))
+        )
 
 
 def test_hash_differs_for_different_content(tmp_path):

@@ -1079,7 +1079,9 @@ def clone_table(
         d["epoch"] = 0
         if m["rows"] > 0:
             src_p = os.path.join(src_root, m["file"])
-            dst_p = mf.snapshot_path(dst_root, int(m["partition"]), 0)
+            dst_p = mf.snapshot_path(
+                dst_root, int(m["partition"]), 0, m["content_hash"]
+            )
             os.makedirs(os.path.dirname(dst_p), exist_ok=True)
             try:
                 os.link(src_p, dst_p)

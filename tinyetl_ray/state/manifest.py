@@ -10,7 +10,9 @@ is deterministically sorted) and re-publishes the same commit — exactly-once
 via idempotence, not coordination.
 
 Layout (table_root/):
-    parts/part-00017/epoch-000003.parquet   # LWW winners incl. delete tombstones
+    parts/part-00017/epoch-000003-<fp12>.parquet  # LWW winners incl. delete tombstones
+                                            # (content-addressed names: racing
+                                            # writers can never clobber bytes)
     _commits/epoch-000003.json              # per-partition manifests + watermarks
     _commits/LATEST                         # name of newest committed epoch (atomic rename)
 
@@ -40,8 +42,16 @@ def part_dir(root: str, pid: int) -> str:
     return os.path.join(root, PARTS_DIR, f"part-{pid:05d}")
 
 
-def snapshot_path(root: str, pid: int, epoch: int) -> str:
-    return os.path.join(part_dir(root, pid), f"epoch-{epoch:06d}.parquet")
+def snapshot_path(root: str, pid: int, epoch: int, fp: str | None = None) -> str:
+    """Snapshot file path. ``fp`` (the content fingerprint) makes the name
+    CONTENT-ADDRESSED: identical content keeps the idempotent same-name
+    rewrite property, while two concurrent writers racing for the same
+    (partition, epoch) slot — e.g. an ingest epoch vs a compaction, where
+    only one wins the OCC commit — can never clobber each other's bytes;
+    the loser's file is simply never referenced (fsck reports it as an
+    orphan, vacuum deletes it)."""
+    name = f"epoch-{epoch:06d}.parquet" if fp is None else f"epoch-{epoch:06d}-{fp[:12]}.parquet"
+    return os.path.join(part_dir(root, pid), name)
 
 
 def _atomic_write_bytes(path: str, data: bytes) -> None:
@@ -97,9 +107,13 @@ def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str
     """Write one partition's epoch snapshot atomically; return its manifest.
 
     Runs INSIDE a merge task (distributed side-effect write); a retried task
-    simply re-runs write-then-rename with identical content.
+    simply re-runs write-then-rename with identical content, landing on the
+    identical content-addressed name.
     """
-    path = snapshot_path(root, pid, epoch)
+    fp = _Fingerprint()
+    if len(table):
+        fp.update(table)
+    path = snapshot_path(root, pid, epoch, fp.hexdigest())
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".tmp-", suffix=".parquet")
     os.close(fd)
@@ -113,9 +127,6 @@ def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str
             except OSError:
                 pass
     lsns = table.column("lsn").to_numpy() if len(table) else []
-    fp = _Fingerprint()
-    if len(table):
-        fp.update(table)
     ops = table.column("op") if "op" in table.column_names else None
     n_del = 0
     if ops is not None and len(table):
@@ -149,8 +160,14 @@ def write_view_snapshot(
     supplied by the caller as the BASE-table lsn this partial reflects, and
     the content fingerprint is a generic Arrow-IPC hash of the (caller-
     sorted) table. Runs inside a distributed build task; retries rewrite
-    identical bytes."""
-    path = snapshot_path(root, pid, epoch)
+    identical bytes onto the identical content-addressed name."""
+    import pyarrow.ipc as ipc
+
+    sink = pa.BufferOutputStream()
+    with ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    fp = hashlib.sha256(sink.getvalue().to_pybytes()).hexdigest()
+    path = snapshot_path(root, pid, epoch, fp)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(
         dir=os.path.dirname(path), prefix=".tmp-", suffix=".parquet"
@@ -165,12 +182,6 @@ def write_view_snapshot(
                 os.remove(tmp)
             except OSError:
                 pass
-    import pyarrow.ipc as ipc
-
-    sink = pa.BufferOutputStream()
-    with ipc.new_stream(sink, table.schema) as w:
-        w.write_table(table)
-    fp = hashlib.sha256(sink.getvalue().to_pybytes()).hexdigest()
     return {
         "partition": pid,
         "epoch": epoch,
@@ -197,9 +208,9 @@ def write_snapshot_chunks(
     """
     import pyarrow.compute as pc
 
-    path = snapshot_path(root, pid, epoch)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".tmp-", suffix=".parquet")
+    pdir = part_dir(root, pid)
+    os.makedirs(pdir, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=pdir, prefix=".tmp-", suffix=".parquet")
     os.close(fd)
     fp = _Fingerprint()
     rows = 0
@@ -223,6 +234,9 @@ def write_snapshot_chunks(
                 lsn_max = max(lsn_max, int(pc.max(t.column("lsn")).as_py()))
                 turn_max = max(turn_max, int(pc.max(t.column("turn_idx")).as_py()))
                 fp.update(t)
+        # fingerprint is only known once the stream is drained: the
+        # content-addressed final name is chosen at rename time
+        path = snapshot_path(root, pid, epoch, fp.hexdigest())
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
