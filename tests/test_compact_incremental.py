@@ -786,3 +786,33 @@ def test_tail_reprocesses_reused_name_with_new_content(tmp_path):
     got = cdc.read_table(root).to_pandas()
     want = sequential_lww(pa.concat_tables(epochs))
     assert_frames_equal(got, want)
+
+
+def test_tail_retries_after_concurrent_commit(tmp_path, monkeypatch):
+    """A commit race (e.g. a compactor publishing between the tailer's state
+    read and its publish) must not kill the tail loop: fingerprints are only
+    saved after a successful commit, so the loop re-enters, re-reads table
+    state, and re-applies the same batch."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=1)
+    watch = tmp_path / "incoming"
+    os.makedirs(watch)
+    root = str(tmp_path / "t")
+    os.link(files[0][0], watch / "0001.parquet")
+
+    real = cdc.replay_commit
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise mf.ConcurrentCommitError("simulated concurrent compaction")
+        return real(*a, **k)
+
+    monkeypatch.setattr(cdc, "replay_commit", flaky)
+    applied = cdc.tail(
+        root, str(watch), num_partitions=4, poll_secs=0.01, max_idle_polls=2
+    )
+    assert calls["n"] == 2, "tail did not retry after ConcurrentCommitError"
+    assert len(applied) == 1
+    got = cdc.read_table(root).to_pandas()
+    assert_frames_equal(got, sequential_lww(pa.concat_tables(epochs)))

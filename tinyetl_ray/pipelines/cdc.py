@@ -929,14 +929,22 @@ def tail(
             # whole batch — a no-op under LWW idempotence.
             base_epoch = _last_change_epoch(mf.latest_commit(table_root)) + 1
             batch = [os.path.join(watch_dir, f) for f in new]
-            commits = replay_commit(
-                table_root,
-                [batch],
-                num_partitions=num_partitions,
-                turn_block=turn_block,
-                on_error=on_error,
-                first_change_epoch=base_epoch,
-            )
+            try:
+                commits = replay_commit(
+                    table_root,
+                    [batch],
+                    num_partitions=num_partitions,
+                    turn_block=turn_block,
+                    on_error=on_error,
+                    first_change_epoch=base_epoch,
+                )
+            except mf.ConcurrentCommitError:
+                # another writer (a compactor, a restore) published between
+                # this tailer's state read and its publish. Fingerprints were
+                # NOT saved, so re-entering the loop re-reads table state,
+                # recomputes the epoch cursor, and re-applies the same batch
+                # — a long-running tailer must outlive commit races, not die
+                continue
             applied.extend(commits)
             for f in new:
                 seen[f] = fingerprint(os.path.join(watch_dir, f))
