@@ -285,3 +285,45 @@ def test_streaming_build_chunks_equal_default(tmp_path):
     h1 = {m["partition"]: m["content_hash"] for m in mf.latest_commit(v1)["partitions"]}
     h2 = {m["partition"]: m["content_hash"] for m in mf.latest_commit(v2)["partitions"]}
     assert h1 == h2
+
+
+def test_role_stats_spec_generality(tmp_path):
+    """A second spec over the same base table: per-role message counts,
+    char sums, first/last timestamps — exact vs a pandas recompute, and a
+    view root refuses a refresh/read under the wrong spec."""
+    import pytest
+
+    from tinyetl_ray.pipelines.views import ROLE_STATS, read_view, refresh_view
+
+    epochs, files = _write_epochs(tmp_path, n_epochs=2)
+    root = str(tmp_path / "t")
+    cdc.replay_commit(root, files[:1], num_partitions=8)
+    vc, vr = str(tmp_path / "conv"), str(tmp_path / "role")
+    refresh_conv_stats(root, vc)
+    refresh_view(root, vr, ROLE_STATS)
+    cdc.replay_commit(root, files, num_partitions=8)
+    refresh_view(root, vr, ROLE_STATS)
+
+    got = (
+        read_view(vr, ROLE_STATS)
+        .to_pandas()
+        .sort_values("role")
+        .reset_index(drop=True)[["role", "messages", "chars", "first_ts", "last_ts"]]
+    )
+    final = sequential_lww(pa.concat_tables(epochs))
+    g = final.groupby("role")
+    want = pd.DataFrame(
+        {
+            "messages": g.size(),
+            "chars": g["text"].apply(lambda s: s.str.len().sum()),
+            "first_ts": g["ts"].min(),
+            "last_ts": g["ts"].max(),
+        }
+    ).reset_index().sort_values("role").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # spec-mismatch guards: wrong spec on an existing view root
+    with pytest.raises(ValueError, match="holds view"):
+        refresh_view(root, vc, ROLE_STATS)
+    with pytest.raises(ValueError, match="holds view"):
+        read_view(vc, ROLE_STATS)

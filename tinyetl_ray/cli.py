@@ -429,9 +429,10 @@ def cmd_cdc(args) -> int:
         c = cdc.clone_table(args.src, args.dest, at_epoch=args.at_epoch)
         print(json.dumps({"epoch": c["epoch"], "cloned_from": c["cloned_from"]}))
     elif args.cdc_cmd == "view-refresh":
-        from .pipelines.views import refresh_conv_stats
+        from .pipelines.views import CONV_STATS, ROLE_STATS, refresh_view
 
-        c = refresh_conv_stats(args.table, args.view)
+        spec = {"conv_stats": CONV_STATS, "role_stats": ROLE_STATS}[args.spec]
+        c = refresh_view(args.table, args.view, spec)
         print(
             json.dumps(
                 {
@@ -442,9 +443,10 @@ def cmd_cdc(args) -> int:
             )
         )
     elif args.cdc_cmd == "view-show":
-        from .pipelines.views import read_conv_stats
+        from .pipelines.views import CONV_STATS, ROLE_STATS, read_view
 
-        ds = read_conv_stats(args.view)
+        spec = {"conv_stats": CONV_STATS, "role_stats": ROLE_STATS}[args.spec]
+        ds = read_view(args.view, spec)
         print(ds.schema())
         print("rows:", ds.count())
     elif args.cdc_cmd == "tail":
@@ -637,8 +639,14 @@ def main(argv: list[str] | None = None) -> int:
     )
     vr.add_argument("table")
     vr.add_argument("view")
+    vr.add_argument(
+        "--spec", choices=["conv_stats", "role_stats"], default="conv_stats"
+    )
     vs = csub.add_parser("view-show")
     vs.add_argument("view")
+    vs.add_argument(
+        "--spec", choices=["conv_stats", "role_stats"], default="conv_stats"
+    )
     tl = csub.add_parser("tail", help="watch a directory, apply new change files")
     tl.add_argument("table")
     tl.add_argument("watch_dir")

@@ -3,31 +3,38 @@
 TinyETL re-runs a whole pipeline to refresh any downstream artifact (one
 Source→Target pass per run, /root/reference/src/transfer.rs:22-118 — no
 notion of "what changed since last run"). This module is the CDC-native
-replacement: a DERIVED aggregate table (per-conversation stats) kept in sync
-with a committed base table by reading ONLY the base partitions whose
-lsn_watermark advanced since the view's last refresh — manifest-level change
-pruning, the same trick cdc.changes_since uses for CDC-out.
+replacement: a DERIVED aggregate table kept in sync with a committed base
+table by reading ONLY the base partitions whose lsn_watermark CHANGED since
+the view's last refresh — manifest-level change pruning, the same trick
+cdc.changes_since uses for CDC-out. Watermark regression (possible only via
+cdc.restore; compaction floors watermarks) also triggers a rebuild, so views
+follow rollbacks.
 
-Why this is exact without replaying deltas: the base partitioner salts hot
-conversations across partitions by turn-range (stages/partition.py), so a
-conversation may SPAN partitions — but every aggregate maintained here is
-DISTRIBUTIVE (count / sum / max / min), so the view stores per-(base
-partition) PARTIAL aggregates, one view partition per base partition, and
-the public read combines partials with a small groupby. A changed base
-partition invalidates exactly one view partition; untouched partials carry
-forward by manifest reference, never re-read.
+Views are SPEC-DRIVEN: a ViewSpec names a group key and a list of
+DISTRIBUTIVE aggregates (count / sum / sum_len / max / min). Why
+distributive only: the base partitioner salts hot conversations across
+partitions by turn-range (stages/partition.py), so a group may SPAN
+partitions — the view therefore stores per-(base partition) PARTIAL
+aggregates, one view partition per base partition, and the public read
+combines partials with a small groupby. A changed base partition
+invalidates exactly one view partition; untouched partials carry forward by
+manifest reference, never re-read. (Algebraic aggregates like avg decompose
+into two distributive ones; holistic ones like exact quantiles need the
+histogram pattern in pipelines/corpus.py instead.)
 
 Scale shape at 10^10 events: a refresh after an epoch that touched K of P
 partitions reads K snapshots (not the table), each build task streams its
 snapshot row-group-by-row-group (never whole-partition in heap), and the
-final combine runs over ~#conversations rows — orders of magnitude smaller
-than the base. Exactly-once via the same write-then-rename snapshots +
-atomic commit publish as the base table; refresh is idempotent and OCC-safe.
+final combine runs over ~#groups rows — orders of magnitude smaller than
+the base. Exactly-once via the same write-then-rename content-addressed
+snapshots + atomic commit publish as the base table; refresh is idempotent
+and OCC-safe.
 """
 
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass, field
 from typing import Any
 
 import pyarrow as pa
@@ -38,84 +45,153 @@ import ray.data
 
 from ..state import manifest as mf
 
-# Partial (per base partition) schema. last_ts is carried as int64
-# microseconds so the second-level max() runs on a plain integer column;
-# read_conv_stats casts back to timestamp[us].
-VIEW_PARTIAL_SCHEMA = pa.schema(
-    [
-        pa.field("conv_id", pa.string(), nullable=False),
-        pa.field("turns", pa.int64()),
-        pa.field("chars", pa.int64()),
-        pa.field("last_ts_us", pa.int64()),
-    ]
-)
-
 # Streaming chunk size for the per-partition partial build: bounds task heap
-# at ~chunk + #distinct-convs regardless of partition size.
+# at ~chunk + #distinct-groups regardless of partition size.
 BUILD_CHUNK_ROWS = 1 << 20
 
+_KINDS = ("count", "sum", "sum_len", "max", "min")
+# partial-combine function per kind: partials of count/sum/sum_len re-SUM,
+# max/min re-max/re-min (all distributive)
+_COMBINE = {"count": "sum", "sum": "sum", "sum_len": "sum", "max": "max", "min": "min"}
 
-def _partial_stats(path: str, chunk_rows: int = BUILD_CHUNK_ROWS) -> pa.Table:
-    """Per-conversation partial aggregates of ONE base partition snapshot,
-    streamed row-group-wise (column-pruned read: op/conv_id/text/ts only —
-    a wide evolved snapshot never deserializes its other columns)."""
+
+@dataclass(frozen=True)
+class ViewAgg:
+    """One distributive aggregate: ``name`` is the output column, ``kind``
+    one of count/sum/sum_len/max/min, ``src`` the base column it reads
+    (None for count). ``out_type``: partials are always int64; the read
+    casts back (e.g. 'timestamp_us' for a max-over-ts)."""
+
+    name: str
+    kind: str
+    src: str | None = None
+    out_type: str = "int64"  # int64 | timestamp_us
+
+    def __post_init__(self):
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown aggregate kind {self.kind!r}")
+        if self.kind != "count" and not self.src:
+            raise ValueError(f"aggregate {self.name!r} ({self.kind}) needs src")
+
+
+@dataclass(frozen=True)
+class ViewSpec:
+    """A materialized view definition: per-``key`` distributive aggregates
+    over the base table's surviving upserts."""
+
+    name: str
+    key: str
+    aggs: tuple[ViewAgg, ...] = field(default_factory=tuple)
+
+    def partial_schema(self) -> pa.Schema:
+        return pa.schema(
+            [pa.field(self.key, pa.string(), nullable=False)]
+            + [pa.field(a.name, pa.int64()) for a in self.aggs]
+        )
+
+    def read_columns(self) -> list[str]:
+        cols = ["op", self.key]
+        for a in self.aggs:
+            if a.src and a.src not in cols:
+                cols.append(a.src)
+        return cols
+
+
+# The canned per-conversation stats view (round-4 original).
+CONV_STATS = ViewSpec(
+    name="conv_stats",
+    key="conv_id",
+    aggs=(
+        ViewAgg("turns", "count"),
+        ViewAgg("chars", "sum_len", "text"),
+        ViewAgg("last_ts_us", "max", "ts", out_type="timestamp_us"),
+    ),
+)
+
+# Per-role message stats over the same payload — proves spec generality.
+ROLE_STATS = ViewSpec(
+    name="role_stats",
+    key="role",
+    aggs=(
+        ViewAgg("messages", "count"),
+        ViewAgg("chars", "sum_len", "text"),
+        ViewAgg("first_ts_us", "min", "ts", out_type="timestamp_us"),
+        ViewAgg("last_ts_us", "max", "ts", out_type="timestamp_us"),
+    ),
+)
+
+
+def _agg_input(t: pa.Table, a: ViewAgg) -> pa.Array:
+    """Vectorized int64 input column for one aggregate over a batch."""
+    if a.kind == "count":
+        return pa.array([1] * len(t), pa.int64())
+    col = t.column(a.src)
+    if a.kind == "sum_len":
+        return pc.cast(pc.utf8_length(col), pa.int64())
+    return pc.cast(col, pa.int64())  # sum / max / min (timestamps via int64)
+
+
+def _partial_stats(
+    path: str, spec: ViewSpec, chunk_rows: int = BUILD_CHUNK_ROWS
+) -> pa.Table:
+    """Per-group partial aggregates of ONE base partition snapshot, streamed
+    row-group-wise (column-pruned read: op/key/src columns only — a wide
+    evolved snapshot never deserializes its other columns)."""
     parts: list[pa.Table] = []
     pf = pq.ParquetFile(path)
-    cols = ["op", "conv_id", "text", "ts"]
-    for rb in pf.iter_batches(batch_size=chunk_rows, columns=cols):
+    pa_aggs = [(a.name, _COMBINE[a.kind]) for a in spec.aggs]
+    for rb in pf.iter_batches(batch_size=chunk_rows, columns=spec.read_columns()):
         t = pa.Table.from_batches([rb])
         t = t.filter(pc.equal(t.column("op"), "upsert"))
         if len(t) == 0:
             continue
         chunk = pa.table(
-            {
-                "conv_id": t.column("conv_id"),
-                "one": pa.array([1] * len(t), pa.int64()),
-                "chars": pc.cast(pc.utf8_length(t.column("text")), pa.int64()),
-                "ts_us": pc.cast(t.column("ts"), pa.int64()),
-            }
+            {spec.key: t.column(spec.key)}
+            | {a.name: _agg_input(t, a) for a in spec.aggs}
         )
-        parts.append(
-            chunk.group_by("conv_id").aggregate(
-                [("one", "sum"), ("chars", "sum"), ("ts_us", "max")]
-            )
-        )
+        parts.append(chunk.group_by(spec.key).aggregate(pa_aggs))
     if not parts:
-        return VIEW_PARTIAL_SCHEMA.empty_table()
-    merged = (
-        pa.concat_tables(parts)
-        .group_by("conv_id")
-        .aggregate([("one_sum", "sum"), ("chars_sum", "sum"), ("ts_us_max", "max")])
-    )
+        return spec.partial_schema().empty_table()
+    suffixed = [(f"{a.name}_{_COMBINE[a.kind]}", _COMBINE[a.kind]) for a in spec.aggs]
+    merged = pa.concat_tables(parts).group_by(spec.key).aggregate(suffixed)
     out = pa.table(
-        {
-            "conv_id": merged.column("conv_id"),
-            "turns": merged.column("one_sum_sum"),
-            "chars": merged.column("chars_sum_sum"),
-            "last_ts_us": merged.column("ts_us_max_max"),
+        {spec.key: merged.column(spec.key)}
+        | {
+            a.name: merged.column(f"{a.name}_{_COMBINE[a.kind]}_{_COMBINE[a.kind]}")
+            for a in spec.aggs
         }
-    ).cast(VIEW_PARTIAL_SCHEMA)
+    ).cast(spec.partial_schema())
     # deterministic row order -> byte-identical snapshot on retry/re-run
-    return out.sort_by("conv_id")
+    return out.sort_by(spec.key)
 
 
-def refresh_conv_stats(
-    table_root: str, view_root: str, *, build_chunk_rows: int | None = None
+def refresh_view(
+    table_root: str,
+    view_root: str,
+    spec: ViewSpec,
+    *,
+    build_chunk_rows: int | None = None,
 ) -> dict[str, Any]:
-    """Bring the conv_stats view at ``view_root`` up to the base table's
-    latest commit. First call builds every partial; later calls rebuild only
-    partitions whose base lsn_watermark advanced (manifest diff — untouched
-    partials carry forward without being read). Returns the view commit.
+    """Bring the view at ``view_root`` up to the base table's latest commit.
+    First call builds every partial; later calls rebuild only partitions
+    whose base lsn_watermark CHANGED (manifest diff — untouched partials
+    carry forward without being read; a regression means the base was
+    restored to an older epoch and rebuilds too). Returns the view commit.
 
     No-op (returns the existing commit, publishes nothing) when the view
-    already reflects the base's latest epoch. A base commit that advanced
-    no partition watermark — e.g. a compaction, whose tombstone GC can only
-    LOWER a watermark — publishes a metadata-only view epoch recording the
-    new base_epoch, rewriting nothing."""
+    already reflects the base's latest epoch. A base commit that changed
+    no partition watermark — e.g. a compaction, which floors watermarks —
+    publishes a metadata-only view epoch recording the new base_epoch,
+    rewriting nothing."""
     base = mf.latest_commit(table_root)
     if base is None:
         raise FileNotFoundError(f"no committed epoch under {table_root}")
     prev = mf.latest_commit(view_root)
+    if prev is not None and prev.get("view") != spec.name:
+        raise ValueError(
+            f"view root {view_root} holds view {prev.get('view')!r}, "
+            f"refusing to refresh it as {spec.name!r}"
+        )
     if prev is not None and prev.get("base_epoch") == base["epoch"]:
         return prev
     prev_wm = mf.partition_watermarks(prev)
@@ -148,14 +224,15 @@ def refresh_conv_stats(
             batch: pa.Table,
             root: str = view_root,
             ep: int = epoch,
+            sp: ViewSpec = spec,
             _chunk: int = chunk,
         ) -> pa.Table:
             rows = []
             for item in batch.to_pylist():
                 partial = (
-                    _partial_stats(item["path"], _chunk)
+                    _partial_stats(item["path"], sp, _chunk)
                     if item["path"]
-                    else VIEW_PARTIAL_SCHEMA.empty_table()
+                    else sp.partial_schema().empty_table()
                 )
                 rows.append(
                     mf.write_view_snapshot(root, item["pid"], ep, partial, item["wm"])
@@ -181,9 +258,9 @@ def refresh_conv_stats(
         epoch,
         manifests,
         stats={"partitions_rebuilt": len(rebuilt)},
-        schema=VIEW_PARTIAL_SCHEMA,
+        schema=spec.partial_schema(),
         extra={
-            "view": "conv_stats",
+            "view": spec.name,
             "base_root": os.path.abspath(table_root),
             "base_epoch": int(base["epoch"]),
         },
@@ -191,51 +268,62 @@ def refresh_conv_stats(
     )
 
 
-def read_conv_stats(view_root: str) -> ray.data.Dataset:
+def read_view(view_root: str, spec: ViewSpec) -> ray.data.Dataset:
     """Public view: combine the per-base-partition partials into final
-    per-conversation stats. The combine is a groupby over ~#conversations
-    partial rows — tiny relative to the base table; most conversations have
-    exactly one partial (only turn-range-salted hot conversations span
-    base partitions).
+    per-group values. The combine is a groupby over ~#groups partial rows —
+    tiny relative to the base table; most groups have exactly one partial
+    (only turn-range-salted hot conversations span base partitions).
 
     A fully-empty view (every surviving base row deleted) yields a 0-row
     dataset; note Ray Data drops empty blocks, so ``to_pandas()`` on that
     result has no columns — callers needing the schema of an empty result
-    should consult VIEW_PARTIAL_SCHEMA."""
-    from ray.data.aggregate import Max, Sum
+    should consult ``spec.partial_schema()``."""
+    from ray.data.aggregate import Max, Min, Sum
 
     commit = mf.latest_commit(view_root)
     if commit is None:
         raise FileNotFoundError(f"no committed view epoch under {view_root}")
+    if commit.get("view") != spec.name:
+        raise ValueError(
+            f"view root {view_root} holds view {commit.get('view')!r}, "
+            f"not {spec.name!r}"
+        )
     files = mf.snapshot_files(view_root, commit)
     if not files:
-        return ray.data.from_arrow(
-            pa.schema(
-                [
-                    pa.field("conv_id", pa.string(), nullable=False),
-                    pa.field("turns", pa.int64()),
-                    pa.field("chars", pa.int64()),
-                    pa.field("last_ts", pa.timestamp("us")),
-                ]
-            ).empty_table()
-        )
+        return ray.data.from_arrow(spec.partial_schema().empty_table())
     ds = ray.data.read_parquet(files)
-    agg = ds.groupby("conv_id").aggregate(
-        Sum("turns", alias_name="turns"),
-        Sum("chars", alias_name="chars"),
-        Max("last_ts_us", alias_name="last_ts_us"),
-    )
+    ray_aggs = []
+    for a in spec.aggs:
+        cls = {"sum": Sum, "max": Max, "min": Min}[_COMBINE[a.kind]]
+        ray_aggs.append(cls(a.name, alias_name=a.name))
+    agg = ds.groupby(spec.key).aggregate(*ray_aggs)
 
-    def _final(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "conv_id": t.column("conv_id"),
-                "turns": pc.cast(t.column("turns"), pa.int64()),
-                "chars": pc.cast(t.column("chars"), pa.int64()),
-                "last_ts": pc.cast(
-                    pc.cast(t.column("last_ts_us"), pa.int64()), pa.timestamp("us")
-                ),
-            }
-        )
+    def _final(t: pa.Table, sp: ViewSpec = spec) -> pa.Table:
+        cols: dict[str, Any] = {sp.key: t.column(sp.key)}
+        for a in sp.aggs:
+            col = pc.cast(t.column(a.name), pa.int64())
+            name = a.name
+            if a.out_type == "timestamp_us":
+                col = pc.cast(col, pa.timestamp("us"))
+                name = a.name.removesuffix("_us")
+            cols[name] = col
+        return pa.table(cols)
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Backward-compatible conv_stats entry points (round-4 original surface)
+# ---------------------------------------------------------------------------
+
+
+def refresh_conv_stats(
+    table_root: str, view_root: str, *, build_chunk_rows: int | None = None
+) -> dict[str, Any]:
+    return refresh_view(
+        table_root, view_root, CONV_STATS, build_chunk_rows=build_chunk_rows
+    )
+
+
+def read_conv_stats(view_root: str) -> ray.data.Dataset:
+    return read_view(view_root, CONV_STATS)
