@@ -209,6 +209,30 @@ def q_cdc_lifecycle(sf_dir: str) -> ray.data.Dataset:
     return cdc.changes_since(root, after_epoch=c0[0]["epoch"])
 
 
+def q_conversations_assemble(sf_dir: str) -> ray.data.Dataset:
+    """Bulk transcript assembly: LWW final state → one row per conversation
+    with turn count + the turn-ordered 'role: text' transcript (the
+    training-corpus export shape). One slim conv_id hash shuffle, then
+    vectorized per-bucket assembly — no per-conversation task."""
+    final = cdc.replay(_changes(sf_dir), num_partitions=64)
+    return cdc.assemble_conversations(final)
+
+
+_ASSEMBLE_SQL = """
+WITH ch AS ({derive}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ch
+),
+final AS (SELECT * FROM ranked WHERE rn = 1 AND op = 'upsert')
+SELECT conv_id, COUNT(*) AS n_turns,
+       string_agg(COALESCE(role, '') || ': ' || COALESCE(text, ''),
+                  chr(10) ORDER BY turn_idx) AS transcript
+FROM final GROUP BY conv_id
+"""
+
+
 def q_cdc_restore(sf_dir: str) -> ray.data.Dataset:
     """Rollback path: commit two epochs, take a zero-copy clone of the
     final state, restore the ORIGINAL to its first epoch, and return the
@@ -363,6 +387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_lineitem": p.corr_lineitem,
         "events_sessionize": p.events_sessionize,
         "cdc_replay": q_cdc_replay,
+        # one conv_id hash shuffle + vectorized per-bucket transcript join
+        "conversations_assemble": q_conversations_assemble,
         "append_union": p.append_union,
         # --- ~2-3s tier ---
         "transform_filter": p.transform_filter,
@@ -534,6 +560,7 @@ def oracle_sql() -> dict[str, str]:
             derive=DERIVE_SQL, thr=EVOLVE_LSN_THRESHOLD
         ),
         "view_conv_stats": _VIEW_STATS_SQL.format(derive=DERIVE_SQL),
+        "conversations_assemble": _ASSEMBLE_SQL.format(derive=DERIVE_SQL),
         "cdc_restore": _LWW_SQL.format(
             derive=f"SELECT * FROM ({DERIVE_SQL}) "
             f"WHERE lsn < {EVOLVE_LSN_THRESHOLD}",

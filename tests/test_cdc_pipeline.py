@@ -276,3 +276,31 @@ def test_task_retry_exactly_once(tmp_path):
     assert flag.exists()  # the failure really fired
     want = sequential_lww(epochs[0])
     assert_frames_equal(got, want)
+
+
+def test_assemble_conversations_edges():
+    """Null role/text render as empty strings; turns ordered by turn_idx even
+    when delivered across many blocks; one output row per conversation."""
+    t = pa.table(
+        {
+            "conv_id": ["b", "a", "a", "b", "a"],
+            "turn_idx": pa.array([1, 2, 0, 0, 1], pa.int32()),
+            "role": ["user", None, "system", "tool", "assistant"],
+            "text": ["hi", "late", "sys", None, "mid"],
+            "tool": [None] * 5,
+            "ts": pa.array([0] * 5, pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)  # one row per block
+    got = (
+        cdc.assemble_conversations(ds)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert got["conv_id"].tolist() == ["a", "b"]
+    assert got["n_turns"].tolist() == [3, 2]
+    assert got["transcript"].tolist() == [
+        "system: sys\nassistant: mid\n: late",
+        "tool: \nuser: hi",
+    ]

@@ -1225,3 +1225,59 @@ def fsck(table_root: str, all_epochs: bool = False) -> dict[str, Any]:
         "corrupt": sorted(corrupt),
         "orphans": sorted(orphans),
     }
+
+
+def assemble_conversations(
+    ds: ray.data.Dataset, sep: str = "\n"
+) -> ray.data.Dataset:
+    """Bulk transcript assembly: the LWW final state (one row per turn) →
+    one row per CONVERSATION with turn count and the turn-ordered
+    ``role: text`` transcript — the training-corpus export shape (the bulk
+    analog of read_conversation's pruned point lookup).
+
+    Scale shape: turns hash-shuffle ONCE on conv_id (slim: the conv key
+    plus the per-turn line, pre-rendered vectorized), then each hash bucket
+    assembles all of its conversations LOCALLY with a vectorized pandas
+    sort + groupby-join — no per-conversation task, no driver state, no
+    global sort. Conversations salted across base partitions by turn-range
+    re-unite in their hash bucket."""
+    import pandas as pd
+
+    from ..hashing import hash_strings
+
+    P = default_shuffle_blocks() * 4
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        # pre-render each turn's line vectorized; ship only (key, conv,
+        # turn, line) through the shuffle — never the full payload
+        role = pc.fill_null(pc.cast(t.column("role"), pa.string()), "")
+        text = pc.fill_null(pc.cast(t.column("text"), pa.string()), "")
+        line = pc.binary_join_element_wise(role, text, ": ")
+        conv = t.column("conv_id")
+        h = hash_strings(conv)
+        return pa.table(
+            {
+                "_p": pa.array((h % np.uint64(P)).astype(np.int32)),
+                "conv_id": conv,
+                "turn_idx": t.column("turn_idx"),
+                "line": line,
+            }
+        )
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=True)
+        out = pd.DataFrame(
+            {
+                "n_turns": g.size(),
+                "transcript": g["line"].agg(sep.join),
+            }
+        ).reset_index()
+        out["n_turns"] = out["n_turns"].astype(np.int64)
+        return out[["conv_id", "n_turns", "transcript"]]
+
+    return (
+        ds.map_batches(line_rows, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(assemble, batch_format="pandas")
+    )
