@@ -218,6 +218,30 @@ def q_conversations_assemble(sf_dir: str) -> ray.data.Dataset:
     return cdc.assemble_conversations(final)
 
 
+def q_context_windows(sf_dir: str) -> ray.data.Dataset:
+    """Per-turn SFT training contexts: each turn + its 2 preceding turns of
+    the same conversation as one rendered block (windowed sibling of
+    conversations_assemble — same slim shuffle, vectorized shift-join)."""
+    final = cdc.replay(_changes(sf_dir), num_partitions=64)
+    return cdc.turn_context_windows(final, k=2)
+
+
+_CONTEXT_SQL = """
+WITH ch AS ({derive}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ch
+),
+final AS (SELECT * FROM ranked WHERE rn = 1 AND op = 'upsert')
+SELECT conv_id, turn_idx,
+       string_agg(COALESCE(role, '') || ': ' || COALESCE(text, ''), chr(10))
+         OVER (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS context
+FROM final
+"""
+
+
 _ASSEMBLE_SQL = """
 WITH ch AS ({derive}),
 ranked AS (
@@ -389,6 +413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay": q_cdc_replay,
         # one conv_id hash shuffle + vectorized per-bucket transcript join
         "conversations_assemble": q_conversations_assemble,
+        "context_windows": q_context_windows,
         "append_union": p.append_union,
         # --- ~2-3s tier ---
         "transform_filter": p.transform_filter,
@@ -561,6 +586,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "view_conv_stats": _VIEW_STATS_SQL.format(derive=DERIVE_SQL),
         "conversations_assemble": _ASSEMBLE_SQL.format(derive=DERIVE_SQL),
+        "context_windows": _CONTEXT_SQL.format(derive=DERIVE_SQL),
         "cdc_restore": _LWW_SQL.format(
             derive=f"SELECT * FROM ({DERIVE_SQL}) "
             f"WHERE lsn < {EVOLVE_LSN_THRESHOLD}",

@@ -304,3 +304,31 @@ def test_assemble_conversations_edges():
         "system: sys\nassistant: mid\n: late",
         "tool: \nuser: hi",
     ]
+
+
+def test_turn_context_windows_edges():
+    """Window truncates at conversation start, never crosses conversations,
+    and k larger than the conversation length degrades to full history."""
+    t = pa.table(
+        {
+            "conv_id": ["a", "a", "a", "b"],
+            "turn_idx": pa.array([0, 1, 2, 0], pa.int32()),
+            "role": ["u", "a", "u", "u"],
+            "text": ["one", "two", "three", "solo"],
+            "tool": [None] * 4,
+            "ts": pa.array([0] * 4, pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(4)
+    got = (
+        cdc.turn_context_windows(ds, k=5)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert got["context"].tolist() == [
+        "u: one",
+        "u: one\na: two",
+        "u: one\na: two\nu: three",
+        "u: solo",
+    ]

@@ -1281,3 +1281,59 @@ def assemble_conversations(
         .groupby("_p")
         .map_groups(assemble, batch_format="pandas")
     )
+
+
+def turn_context_windows(
+    ds: ray.data.Dataset, k: int = 2, sep: str = "\n"
+) -> ray.data.Dataset:
+    """Per-turn training contexts: each turn paired with its ``k`` preceding
+    turns of the same conversation, rendered as one ``role: text`` block —
+    the SFT-example construction shape (assemble_conversations exports whole
+    transcripts; this exports a sliding window per turn).
+
+    Same scale shape as assemble_conversations: one slim conv_id hash
+    shuffle of pre-rendered lines, then each bucket builds every window
+    VECTORIZED (k grouped shifts + string concat — no per-turn loop, no
+    per-conversation task)."""
+    import pandas as pd
+
+    from ..hashing import hash_strings
+
+    P = default_shuffle_blocks() * 4
+
+    def line_rows(t: pa.Table) -> pa.Table:
+        role = pc.fill_null(pc.cast(t.column("role"), pa.string()), "")
+        text = pc.fill_null(pc.cast(t.column("text"), pa.string()), "")
+        line = pc.binary_join_element_wise(role, text, ": ")
+        conv = t.column("conv_id")
+        h = hash_strings(conv)
+        return pa.table(
+            {
+                "_p": pa.array((h % np.uint64(P)).astype(np.int32)),
+                "conv_id": conv,
+                "turn_idx": t.column("turn_idx"),
+                "line": line,
+            }
+        )
+
+    def windows(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        g = df.groupby("conv_id", sort=False)
+        ctx = df["line"]
+        for j in range(1, k + 1):
+            p = g["line"].shift(j)
+            cand = p.str.cat(ctx, sep=sep)  # NaN wherever the shift ran out
+            ctx = cand.where(p.notna(), ctx)
+        return pd.DataFrame(
+            {
+                "conv_id": df["conv_id"],
+                "turn_idx": df["turn_idx"],
+                "context": ctx,
+            }
+        )
+
+    return (
+        ds.map_batches(line_rows, batch_format="pyarrow")
+        .groupby("_p")
+        .map_groups(windows, batch_format="pandas")
+    )
