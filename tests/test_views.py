@@ -327,3 +327,49 @@ def test_role_stats_spec_generality(tmp_path):
         refresh_view(root, vc, ROLE_STATS)
     with pytest.raises(ValueError, match="holds view"):
         read_view(vc, ROLE_STATS)
+
+
+def test_view_over_evolved_column(tmp_path):
+    """A spec aggregating an EVOLVED column must not crash on snapshots
+    written before the column existed: missing columns backfill null, which
+    contributes nothing to sum_len/max/min."""
+    from tinyetl_ray.pipelines.views import ViewAgg, ViewSpec, read_view, refresh_view
+
+    epochs, _files = _write_epochs(tmp_path, n_epochs=2, n_events=2000)
+    # epoch 0 physically LACKS the evolved `model` column; epoch 1 has it
+    e0 = epochs[0]
+    e1 = epochs[1].append_column(
+        "model",
+        pa.array(
+            [f"m{i % 3}" for i in range(len(epochs[1]))], pa.string()
+        ),
+    )
+    p0, p1 = tmp_path / "v0.parquet", tmp_path / "v1.parquet"
+    pq.write_table(e0, p0)
+    pq.write_table(e1, p1)
+    root, view = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.replay_commit(root, [[str(p0)]], num_partitions=4)
+    spec = ViewSpec(
+        name="model_chars",
+        key="conv_id",
+        aggs=(ViewAgg("turns", "count"), ViewAgg("model_chars", "sum_len", "model")),
+    )
+    refresh_view(root, view, spec)  # all partials from model-less snapshots
+    cdc.replay_commit(root, [[str(p0)], [str(p1)]], num_partitions=4)
+    refresh_view(root, view, spec)
+
+    got = (
+        read_view(view, spec)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    final = cdc.read_table(root).to_pandas()
+    g = final.groupby("conv_id")
+    want = pd.DataFrame(
+        {
+            "turns": g.size(),
+            "model_chars": g["model"].apply(lambda s: int(s.str.len().sum())),
+        }
+    ).reset_index().sort_values("conv_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

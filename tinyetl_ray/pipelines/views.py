@@ -140,8 +140,16 @@ def _partial_stats(
     parts: list[pa.Table] = []
     pf = pq.ParquetFile(path)
     pa_aggs = [(a.name, _COMBINE[a.kind]) for a in spec.aggs]
-    for rb in pf.iter_batches(batch_size=chunk_rows, columns=spec.read_columns()):
+    # additive schema evolution: a snapshot written before an evolved column
+    # existed simply lacks it — read what is present and backfill nulls
+    # (null inputs contribute nothing to sum/max/min and 0 to sum_len)
+    present = set(pf.schema_arrow.names)
+    cols = [c for c in spec.read_columns() if c in present]
+    missing = [c for c in spec.read_columns() if c not in present]
+    for rb in pf.iter_batches(batch_size=chunk_rows, columns=cols):
         t = pa.Table.from_batches([rb])
+        for c in missing:
+            t = t.append_column(c, pa.nulls(len(t), pa.string()))
         t = t.filter(pc.equal(t.column("op"), "upsert"))
         if len(t) == 0:
             continue
