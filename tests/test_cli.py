@@ -169,6 +169,15 @@ def test_cdc_cli_flow(tmp_path, capsys):
     assert main(["cdc", "fsck", root]) == 0
     fsck = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert fsck["ok"] and fsck["checked"] > 0
+    # training-shape exports from the committed table
+    assert main(["cdc", "export", root, str(tmp_path / "tx")]) == 0
+    ex = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ex["shape"] == "transcripts" and ex["rows"] == 10  # one per conv
+    assert main(
+        ["cdc", "export", root, str(tmp_path / "wx"), "--shape", "windows"]
+    ) == 0
+    ex2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ex2["rows"] > 10  # one row per TURN
 
 
 # ---------------------------------------------------------------------------

@@ -417,6 +417,23 @@ def cmd_cdc(args) -> int:
             args.table, args.dest, num_partitions=args.partitions
         )
         print(json.dumps({"epoch": c["epoch"], "num_partitions": c["num_partitions"]}))
+    elif args.cdc_cmd == "export":
+        ds = cdc.read_table(args.table, at_epoch=args.at_epoch)
+        out = (
+            cdc.turn_context_windows(ds, k=args.k)
+            if args.shape == "windows"
+            else cdc.assemble_conversations(ds)
+        )
+        out.write_parquet(args.dest)
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        n = sum(
+            _pq.ParquetFile(f).metadata.num_rows
+            for f in _glob.glob(os.path.join(args.dest, "*.parquet"))
+        )
+        print(json.dumps({"rows": n, "shape": args.shape, "dest": args.dest}))
     elif args.cdc_cmd == "fsck":
         r = cdc.fsck(args.table, all_epochs=args.all_epochs)
         print(json.dumps(r))
@@ -616,6 +633,18 @@ def main(argv: list[str] | None = None) -> int:
     rp.add_argument("table")
     rp.add_argument("dest")
     rp.add_argument("--partitions", type=int, required=True)
+    ex = csub.add_parser(
+        "export",
+        help="export training shapes from a committed table: whole "
+        "transcripts or per-turn context windows, as parquet",
+    )
+    ex.add_argument("table")
+    ex.add_argument("dest")
+    ex.add_argument("--shape", choices=["transcripts", "windows"],
+                    default="transcripts")
+    ex.add_argument("--k", type=int, default=2,
+                    help="preceding turns per window (--shape windows)")
+    ex.add_argument("--at-epoch", dest="at_epoch", type=int, default=None)
     fs = csub.add_parser(
         "fsck", help="audit snapshot integrity (hashes, missing files, orphans)"
     )
