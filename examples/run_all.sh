@@ -162,6 +162,18 @@ check "09_lifecycle" 'grep -q "\"partitions_rebuilt\"" "$OUT/09_view.json" \
   && grep -q "\"ok\": true" "$OUT/09_fsck.json" && [ "$fsck_rc" -eq 0 ] \
   && grep -qE "rows: [1-9]" "$OUT/09_show.txt"'
 
+# 10: training-shape exports (whole transcripts + per-turn context windows)
+# from the (restored) table of example 09
+python -m tinyetl_ray.cli cdc export "$OUT/05_table" "$OUT/10_tx" > "$OUT/10_tx.json" 2>/dev/null
+python -m tinyetl_ray.cli cdc export "$OUT/05_table" "$OUT/10_wx" --shape windows --k 1 > "$OUT/10_wx.json" 2>/dev/null
+check "10_training_exports" 'python -c "
+import json
+tx = json.load(open(\"$OUT/10_tx.json\"))
+wx = json.load(open(\"$OUT/10_wx.json\"))
+assert tx[\"shape\"] == \"transcripts\" and tx[\"rows\"] > 0
+assert wx[\"shape\"] == \"windows\" and wx[\"rows\"] >= tx[\"rows\"]
+" 2>/dev/null'
+
 echo "----------------------------------------"
 echo "examples: $pass passed, $fail failed (out: $OUT)"
 [ "$fail" -eq 0 ]
