@@ -209,6 +209,36 @@ def q_cdc_lifecycle(sf_dir: str) -> ray.data.Dataset:
     return cdc.changes_since(root, after_epoch=c0[0]["epoch"])
 
 
+def q_view_role_stats(sf_dir: str) -> ray.data.Dataset:
+    """Second materialized-view spec (per-role message stats) through the
+    same incremental two-commit refresh flow as view_conv_stats — proves the
+    spec-driven layer end to end at the driver."""
+    from tinyetl_ray.pipelines.views import ROLE_STATS, read_view, refresh_view
+
+    tmp = tempfile.mkdtemp(prefix="tinyetl-roleview-")
+    files = _epoch_files(sf_dir, tmp)
+    root, view = os.path.join(tmp, "table"), os.path.join(tmp, "view")
+    cdc.replay_commit(root, files[:1], num_partitions=64)
+    refresh_view(root, view, ROLE_STATS)
+    cdc.replay_commit(root, files, num_partitions=64)
+    refresh_view(root, view, ROLE_STATS)
+    return read_view(view, ROLE_STATS)
+
+
+_ROLE_STATS_SQL = """
+WITH ch AS ({derive}),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts DESC, lsn DESC) AS rn
+  FROM ch
+)
+SELECT role, COUNT(*) AS messages,
+       CAST(SUM(length(text)) AS BIGINT) AS chars,
+       MIN(ts) AS first_ts, MAX(ts) AS last_ts
+FROM ranked WHERE rn = 1 AND op = 'upsert' GROUP BY role
+"""
+
+
 def q_conversations_assemble(sf_dir: str) -> ray.data.Dataset:
     """Bulk transcript assembly: LWW final state → one row per conversation
     with turn count + the turn-ordered 'role: text' transcript (the
@@ -465,6 +495,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental materialized view: manifest-pruned refresh across two
         # base commits, hashed against a from-scratch windowed recompute
         "view_conv_stats": q_view_conv_stats,
+        # the second view spec through the same flow (spec-driven layer)
+        "view_role_stats": q_view_role_stats,
         # composed table-ops lifecycle: tail → compact → vacuum →
         # time-travel assert → changes_since (the returned, hashed result)
         "cdc_lifecycle": q_cdc_lifecycle,
@@ -587,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "view_conv_stats": _VIEW_STATS_SQL.format(derive=DERIVE_SQL),
         "conversations_assemble": _ASSEMBLE_SQL.format(derive=DERIVE_SQL),
         "context_windows": _CONTEXT_SQL.format(derive=DERIVE_SQL),
+        "view_role_stats": _ROLE_STATS_SQL.format(derive=DERIVE_SQL),
         "cdc_restore": _LWW_SQL.format(
             derive=f"SELECT * FROM ({DERIVE_SQL}) "
             f"WHERE lsn < {EVOLVE_LSN_THRESHOLD}",
