@@ -159,6 +159,16 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
         n_final = cdc.read_table(os.path.join(work, "table")).count()
         queries["read_table"] = round(time.perf_counter() - t0, 3)
 
+        # transcript export over the committed table (one slim conv_id
+        # shuffle + vectorized per-bucket assembly)
+        t0 = time.perf_counter()
+        n_convs = cdc.assemble_conversations(
+            cdc.read_table(os.path.join(work, "table"))
+        ).count()
+        secs = time.perf_counter() - t0
+        queries["assemble_conversations"] = round(secs, 3)
+        queries["assemble_turns_per_sec"] = round(n_final / max(secs, 1e-9))
+
         if only_headline:
             return {
                 "metric": "cdc_replay_commit_wide_sec",
