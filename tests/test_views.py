@@ -373,3 +373,26 @@ def test_view_over_evolved_column(tmp_path):
         }
     ).reset_index().sort_values("conv_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_refresh_retries_through_occ_conflict(tmp_path, monkeypatch):
+    """A refresher whose publish loses to a concurrent writer must retry by
+    re-entering (re-reads both manifests) instead of dying; content-addressed
+    snapshots make the retry clobber-free."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=1, n_events=1500)
+    root, view = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.replay_commit(root, files, num_partitions=4)
+
+    real = mf.commit_epoch
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise mf.ConcurrentCommitError("simulated racing refresher")
+        return real(*a, **k)
+
+    monkeypatch.setattr(mf, "commit_epoch", flaky)
+    c = refresh_conv_stats(root, view)
+    assert calls["n"] == 2 and c["stats"]["partitions_rebuilt"] > 0
+    _assert_stats_match(view, epochs)

@@ -179,6 +179,7 @@ def refresh_view(
     spec: ViewSpec,
     *,
     build_chunk_rows: int | None = None,
+    occ_retries: int = 2,
 ) -> dict[str, Any]:
     """Bring the view at ``view_root`` up to the base table's latest commit.
     First call builds every partial; later calls rebuild only partitions
@@ -190,7 +191,30 @@ def refresh_view(
     already reflects the base's latest epoch. A base commit that changed
     no partition watermark — e.g. a compaction, which floors watermarks —
     publishes a metadata-only view epoch recording the new base_epoch,
-    rewriting nothing."""
+    rewriting nothing.
+
+    Two refreshers racing on the same view root: the OCC loser re-enters
+    (up to ``occ_retries`` times) — it re-reads both manifests, usually
+    finding the winner already published its work and no-oping; snapshots
+    are content-addressed, so the retry can never clobber bytes."""
+    for attempt in range(occ_retries + 1):
+        try:
+            return _refresh_view_once(
+                table_root, view_root, spec, build_chunk_rows=build_chunk_rows
+            )
+        except mf.ConcurrentCommitError:
+            if attempt == occ_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _refresh_view_once(
+    table_root: str,
+    view_root: str,
+    spec: ViewSpec,
+    *,
+    build_chunk_rows: int | None = None,
+) -> dict[str, Any]:
     base = mf.latest_commit(table_root)
     if base is None:
         raise FileNotFoundError(f"no committed epoch under {table_root}")
