@@ -113,3 +113,56 @@ def test_ingest_races_compaction(tmp_path):
     got = cdc.read_table(root).to_pandas()
     want = sequential_lww(pa.concat_tables(epochs))
     assert_frames_equal(got, want)
+
+
+_TAILER = textwrap.dedent(
+    """
+    import json, sys
+    import ray
+    ray.init(address="local", num_cpus=2, include_dashboard=False,
+             logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from tinyetl_ray.pipelines import cdc
+
+    root, watch = sys.argv[1], sys.argv[2]
+    applied = cdc.tail(root, watch, num_partitions=4, poll_secs=0.05,
+                       max_idle_polls=6)
+    print(json.dumps({"applied": [c["epoch"] for c in applied]}))
+    ray.shutdown()
+    """
+)
+
+
+def test_two_tailers_race(tmp_path):
+    """Two tail processes watching the same directory and committing to the
+    same table: whoever loses a commit race retries (possibly re-applying a
+    batch the winner already applied as a NEW change epoch — a no-op under
+    LWW idempotence). Final state must equal the sequential oracle with no
+    lost or duplicated rows."""
+    epochs = make_changes(n_events=2500, n_convs=20, seed=55, n_epochs=3)
+    watch = tmp_path / "incoming"
+    os.makedirs(watch)
+    for i, t in enumerate(epochs):
+        pq.write_table(t, watch / f"{i:04d}.parquet")
+    root = str(tmp_path / "t")
+
+    env = dict(os.environ, PYTHONPATH=os.getcwd(), RAY_ADDRESS="local")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", _TAILER, root, str(watch)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for _ in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-2000:]
+
+    commits = mf.list_commits(root)
+    assert [c["epoch"] for c in commits] == list(range(len(commits)))
+    state = json.load(open(os.path.join(root, "_commits", "TAIL_STATE")))
+    assert len(state["applied"]) == 3  # every file fingerprinted exactly once
+
+    got = cdc.read_table(root).to_pandas()
+    want = sequential_lww(pa.concat_tables(epochs))
+    assert_frames_equal(got, want)
