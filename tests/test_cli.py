@@ -178,6 +178,10 @@ def test_cdc_cli_flow(tmp_path, capsys):
     ) == 0
     ex2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert ex2["rows"] > 10  # one row per TURN
+    # re-exporting into a dest that already holds parquet must refuse:
+    # mixing runs would corrupt the corpus and the reported row count
+    assert main(["cdc", "export", root, str(tmp_path / "tx")]) == 1
+    capsys.readouterr()
 
 
 # ---------------------------------------------------------------------------

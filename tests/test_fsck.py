@@ -84,3 +84,33 @@ def test_fsck_view_snapshots(tmp_path):
     pq.write_table(t.slice(0, max(len(t) - 1, 0)), path)
     r2 = cdc.fsck(view)
     assert not r2["ok"] and rel in r2["corrupt"]
+
+def test_fsck_detects_payload_only_corruption(tmp_path):
+    """Round-4 advice: the fingerprint covers payload columns, so bit rot
+    that leaves the keys (conv_id/turn_idx/lsn) intact but mutates text
+    must fail the audit — the old key-only fingerprint passed this."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    root = _mk_table(tmp_path)
+    path, rel = _live_snapshot(root)
+    t = pq.read_table(path)
+    idx = t.column_names.index("text")
+    mutated = pc.binary_replace_slice(
+        pc.coalesce(t.column("text"), pa.scalar("", pa.string())), 0, 1, "X"
+    )
+    pq.write_table(t.set_column(idx, "text", mutated), path)
+    r = cdc.fsck(root)
+    assert not r["ok"] and rel in r["corrupt"] and not r["missing"]
+
+
+def test_fsck_ignores_inflight_tmp_files(tmp_path):
+    """A live writer's .tmp-* scratch file (mkstemp before the atomic
+    rename) is not debris: reporting it as a deletable orphan would invite
+    an operator to break the writer's publish mid-commit."""
+    root = _mk_table(tmp_path)
+    pdir = os.path.dirname(_live_snapshot(root)[0])
+    with open(os.path.join(pdir, ".tmp-abc123.parquet"), "wb") as f:
+        f.write(b"partial write in progress")
+    r = cdc.fsck(root)
+    assert r["ok"] and not r["orphans"]

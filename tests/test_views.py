@@ -396,3 +396,28 @@ def test_refresh_retries_through_occ_conflict(tmp_path, monkeypatch):
     c = refresh_conv_stats(root, view)
     assert calls["n"] == 2 and c["stats"]["partitions_rebuilt"] > 0
     _assert_stats_match(view, epochs)
+
+def test_view_rebuilds_after_restore_reapply_coinciding_watermark(tmp_path):
+    """Round-4 advice: equal per-partition watermark is NOT proof of
+    identity once restore exists. Restore the base, re-apply the same lsns
+    with DIFFERENT payload — watermarks coincide with what the view
+    recorded, and only the live_hash comparison forces the rebuild."""
+    import pyarrow.compute as pc
+
+    epochs, files = _write_epochs(tmp_path, n_epochs=2, n_events=3000)
+    root, view = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.replay_commit(root, files, num_partitions=4)
+    refresh_conv_stats(root, view)
+    _assert_stats_match(view, epochs)
+
+    cdc.restore(root, 0)
+    t1 = epochs[1]
+    mut = pc.binary_replace_slice(t1.column("text"), start=0, stop=0, replacement="ALT-")
+    t1b = t1.set_column(t1.column_names.index("text"), "text", mut).cast(CHANGE_SCHEMA)
+    p = tmp_path / "alt.parquet"
+    pq.write_table(t1b, p)
+    cdc.replay_commit(root, [[str(p)]], num_partitions=4, first_change_epoch=1)
+
+    c = refresh_conv_stats(root, view)
+    assert c["stats"]["partitions_rebuilt"] > 0, "view silently kept stale state"
+    _assert_stats_match(view, [epochs[0], t1b])

@@ -418,6 +418,20 @@ def cmd_cdc(args) -> int:
         )
         print(json.dumps({"epoch": c["epoch"], "num_partitions": c["num_partitions"]}))
     elif args.cdc_cmd == "export":
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        # refuse a dest already holding parquet: mixing a previous export's
+        # files with this run's would corrupt the corpus AND the row count
+        stale = _glob.glob(os.path.join(args.dest, "*.parquet"))
+        if stale:
+            print(
+                f"error: dest {args.dest} already contains {len(stale)} "
+                "parquet file(s) — export to a fresh directory or remove them",
+                file=sys.stderr,
+            )
+            return 1
         ds = cdc.read_table(args.table, at_epoch=args.at_epoch)
         out = (
             cdc.turn_context_windows(ds, k=args.k)
@@ -425,10 +439,6 @@ def cmd_cdc(args) -> int:
             else cdc.assemble_conversations(ds)
         )
         out.write_parquet(args.dest)
-        import glob as _glob
-
-        import pyarrow.parquet as _pq
-
         n = sum(
             _pq.ParquetFile(f).metadata.num_rows
             for f in _glob.glob(os.path.join(args.dest, "*.parquet"))

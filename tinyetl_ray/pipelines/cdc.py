@@ -701,6 +701,7 @@ def compact(table_root: str, drop_tombstones: bool = True) -> dict[str, Any]:
                     "live_rows": 0,
                     "lsn_watermark": m["lsn_watermark"],
                     "content_hash": "",
+                    "live_hash": "",
                 }
             )
     stats = {"compaction": True, "dropped_tombstones": drop_tombstones}
@@ -811,6 +812,7 @@ def repartition_table(
                     "live_rows": 0,
                     "lsn_watermark": wm_floor,
                     "content_hash": "",
+                    "live_hash": "",
                 }
             )
     return mf.commit_epoch(
@@ -1135,12 +1137,20 @@ def fsck(table_root: str, all_epochs: bool = False) -> dict[str, Any]:
         manifests of retained commits)
 
     Verification fans out one Ray task batch per snapshot and STREAMS each
-    file row-group-wise through the same chunking-invariant fingerprint the
-    writers used — a 100 TB audit never holds a partition in one heap.
-    Checks the latest commit by default; ``all_epochs`` audits every
-    still-materialized epoch (skipping vacuumed files, which are expected
-    to be gone). View snapshots (no lsn column) recompute the generic
-    Arrow-IPC hash write_view_snapshot used."""
+    file row-group-wise through the same chunking-invariant ALL-COLUMNS
+    fingerprint the writers used (round-4 advice: payload columns are
+    covered, so role/text/tool/ts bit rot fails the audit too) — a 100 TB
+    audit never holds a partition in one heap. Checks the latest commit by
+    default; ``all_epochs`` audits every still-materialized epoch (skipping
+    vacuumed files, which are expected to be gone). Base-table and derived
+    view snapshots share one recompute path since _Fingerprint makes no
+    column-set assumption.
+
+    Orphan deletion is only safe when NO writer is concurrently active: a
+    mid-commit writer's published-but-not-yet-referenced snapshot looks
+    identical to debris (its commit publish is the step that references
+    it). ``.tmp-*`` scratch files of in-flight atomic writes are therefore
+    never reported."""
     commits = mf.list_commits(table_root)
     if not commits:
         raise FileNotFoundError(f"no committed epoch under {table_root}")
@@ -1166,28 +1176,14 @@ def fsck(table_root: str, all_epochs: bool = False) -> dict[str, Any]:
             ref.setdefault(f, m["content_hash"])
 
     def _check(batch: pa.Table, root: str = table_root) -> pa.Table:
-        import hashlib as _hl
-
-        import pyarrow.ipc as _ipc
-
         out_f, out_ok, out_got = [], [], []
         for row in batch.to_pylist():
             path = os.path.join(root, row["file"])
             pf = pq.ParquetFile(path)
-            names = pf.schema_arrow.names
-            if {"lsn", "conv_id", "turn_idx"} <= set(names):
-                fp = mf._Fingerprint()
-                for rb in pf.iter_batches(
-                    batch_size=1 << 20, columns=["conv_id", "turn_idx", "lsn"]
-                ):
-                    fp.update(pa.Table.from_batches([rb]))
-                got = fp.hexdigest()
-            else:  # derived/view snapshot: generic whole-table IPC hash
-                t = pf.read()
-                sink = pa.BufferOutputStream()
-                with _ipc.new_stream(sink, t.schema) as w:
-                    w.write_table(t)
-                got = _hl.sha256(sink.getvalue().to_pybytes()).hexdigest()
+            fp = mf._Fingerprint()
+            for rb in pf.iter_batches(batch_size=1 << 20):
+                fp.update(pa.Table.from_batches([rb]))
+            got = fp.hexdigest()
             out_f.append(row["file"])
             out_ok.append(got == row["expect"])
             out_got.append(got)
@@ -1214,6 +1210,8 @@ def fsck(table_root: str, all_epochs: bool = False) -> dict[str, Any]:
     parts_dir = os.path.join(table_root, mf.PARTS_DIR)
     for dirpath, _dirs, fnames in os.walk(parts_dir):
         for f in fnames:
+            if f.startswith(".tmp-"):
+                continue  # in-flight atomic write of a live writer
             p = os.path.abspath(os.path.join(dirpath, f))
             if p.endswith(".parquet") and p not in all_ref:
                 orphans.append(os.path.relpath(p, table_root))

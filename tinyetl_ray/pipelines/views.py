@@ -227,17 +227,30 @@ def _refresh_view_once(
     if prev is not None and prev.get("base_epoch") == base["epoch"]:
         return prev
     prev_wm = mf.partition_watermarks(prev)
+    # The view row remembers the BASE partition's live_hash (fingerprint of
+    # its surviving-upsert rows) it was built from: an exact identity check
+    # that stays correct even when a restore + re-apply lands a DIFFERENT
+    # row set on a coinciding max lsn (round-4 advice — watermark equality
+    # alone is not proof of identity once rollbacks exist). live_hash, not
+    # content_hash, so tombstone-dropping compaction — which preserves live
+    # rows and their order — still rebuilds nothing. Older view commits
+    # lack the key and rebuild once (self-healing).
+    prev_bh = (
+        {m["partition"]: m.get("base_live_hash") for m in prev["partitions"]}
+        if prev is not None
+        else {}
+    )
     # INEQUALITY, not advance: normal commits only ever raise a partition's
     # watermark (compaction explicitly floors it, cdc.py _rewrite_parts), so
     # a REGRESSION means the base was cdc.restore()d to an older epoch — the
     # view must rebuild those partitions or it would silently keep the
-    # rolled-back state. Equal watermark ⇒ identical surviving upserts
-    # (changed winners always carry a higher lsn) ⇒ skip is exact.
+    # rolled-back state.
     changed = [
         m
         for m in base["partitions"]
         if m["partition"] not in prev_wm
         or m["lsn_watermark"] != prev_wm[m["partition"]]
+        or m.get("live_hash", "") != prev_bh.get(m["partition"])
     ]
     epoch = prev["epoch"] + 1 if prev is not None else 0
     new_rows: list[dict[str, Any]] = []
@@ -247,6 +260,7 @@ def _refresh_view_once(
                 "pid": int(m["partition"]),
                 "path": os.path.join(table_root, m["file"]) if m["rows"] > 0 else "",
                 "wm": int(m["lsn_watermark"]),
+                "bh": m.get("live_hash", ""),
             }
             for m in changed
         ]
@@ -266,9 +280,9 @@ def _refresh_view_once(
                     if item["path"]
                     else sp.partial_schema().empty_table()
                 )
-                rows.append(
-                    mf.write_view_snapshot(root, item["pid"], ep, partial, item["wm"])
-                )
+                row = mf.write_view_snapshot(root, item["pid"], ep, partial, item["wm"])
+                row["base_live_hash"] = item["bh"]
+                rows.append(row)
             return pa.table({k: [r[k] for r in rows] for k in rows[0]})
 
         ds = ray.data.from_items(items, override_num_blocks=len(items))

@@ -71,35 +71,118 @@ def _atomic_write_bytes(path: str, data: bytes) -> None:
                 pass
 
 
-class _Fingerprint:
-    """Chunking-INVARIANT snapshot content fingerprint (round-3 advice):
-    one running sha256 per hashed column (conv_id key-hash, turn_idx, lsn),
-    fed chunk by chunk — concatenating chunk bytes equals hashing the whole
-    column, so the digest depends only on the row stream, never on which
-    writer ran (write_snapshot vs write_snapshot_chunks) or on
-    TINYETL_SPILL_MERGE_* chunk settings. Finalized in a fixed order with
-    the row count first."""
+class _ColHash:
+    """Three running sha256 streams for ONE column: null mask, primary
+    bytes (fixed-width values, or per-row lengths for var-width), and
+    var-width data bytes. Keeping the streams separate is what makes the
+    digest chunking-invariant: each stream's per-chunk contribution
+    concatenates to exactly the whole-column byte sequence."""
+
+    __slots__ = ("mask", "a", "b")
 
     def __init__(self):
-        self._conv = hashlib.sha256()
-        self._turn = hashlib.sha256()
-        self._lsn = hashlib.sha256()
+        self.mask = hashlib.sha256()
+        self.a = hashlib.sha256()
+        self.b = hashlib.sha256()
+
+    def digest(self) -> bytes:
+        h = hashlib.sha256()
+        h.update(self.mask.digest())
+        h.update(self.a.digest())
+        h.update(self.b.digest())
+        return h.digest()
+
+
+def _update_col_hash(ch: _ColHash, col: pa.ChunkedArray | pa.Array) -> None:
+    """Feed one column slice's canonical bytes into its running streams.
+
+    Encodings (all fixed layout per row, so chunk boundaries can't matter):
+      - every type: null mask as one bool byte per row
+      - string/binary: int64 length per row -> ``a``; raw row-ordered UTF-8
+        data bytes -> ``b`` (no per-byte-position loop — sha256 over the
+        Arrow data buffer slice directly)
+      - fixed-width (int/float/bool/temporal): null-filled values' native
+        bytes -> ``a`` (temporals/bools canonicalized via int cast)
+      - anything else: canonical per-row uint64 hash of the string
+        rendering -> ``a``
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        for chunk in col.chunks:
+            _update_col_hash(ch, chunk)
+        return
+    n = len(col)
+    if n == 0:
+        return
+    if col.null_count:
+        ch.mask.update(np.asarray(pc.is_null(col)).tobytes())
+    else:
+        ch.mask.update(np.zeros(n, dtype=bool).tobytes())
+    typ = col.type
+    if pa.types.is_large_string(typ):
+        col, typ = col.cast(pa.string()), pa.string()
+    elif pa.types.is_large_binary(typ):
+        col, typ = col.cast(pa.binary()), pa.binary()
+    if pa.types.is_string(typ) or pa.types.is_binary(typ):
+        bufs = col.buffers()  # [validity, offsets(int32), data]
+        off = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1 + col.offset)[
+            col.offset : col.offset + n + 1
+        ].astype(np.int64)
+        ch.a.update(np.diff(off).tobytes())
+        if bufs[2] is not None and off[-1] > off[0]:
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            ch.b.update(data[off[0] : off[-1]].tobytes())
+        return
+    if (
+        pa.types.is_timestamp(typ)
+        or pa.types.is_date(typ)
+        or pa.types.is_time(typ)
+        or pa.types.is_duration(typ)
+    ):
+        col = pc.cast(col, pa.int64())
+    elif pa.types.is_boolean(typ):
+        col = pc.cast(col, pa.uint8())
+    try:
+        vals = pc.fill_null(col, 0) if col.null_count else col
+        ch.a.update(vals.to_numpy(zero_copy_only=False).tobytes())
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError):
+        from ..hashing import hash_strings
+
+        ch.a.update(hash_strings(pc.cast(col, pa.string())).tobytes())
+
+
+class _Fingerprint:
+    """Chunking-INVARIANT snapshot content fingerprint covering EVERY column
+    (round-4 advice: bit rot or out-of-band mutation of payload columns must
+    fail fsck, and two snapshots differing only in payload must land on
+    distinct content-addressed names). Per column, running sha256 streams
+    are fed chunk by chunk — concatenating chunk bytes equals hashing the
+    whole column, so the digest depends only on the row stream, never on
+    which writer ran (write_snapshot vs write_snapshot_chunks /
+    write_view_snapshot) or on TINYETL_SPILL_MERGE_* chunk settings or
+    parquet row-group layout. Finalized with the row count first, then the
+    per-column digests keyed by sorted column name. Makes NO assumption
+    about the column set, so base-table and derived-view snapshots share
+    this one scheme (and fsck one recompute path)."""
+
+    def __init__(self):
+        self._cols: dict[str, _ColHash] = {}
         self._rows = 0
 
     def update(self, t: pa.Table) -> None:
-        from ..hashing import hash_strings
-
         self._rows += len(t)
-        self._conv.update(hash_strings(t.column("conv_id")).tobytes())
-        self._turn.update(t.column("turn_idx").to_numpy().tobytes())
-        self._lsn.update(t.column("lsn").to_numpy().tobytes())
+        for name in t.column_names:
+            _update_col_hash(self._cols.setdefault(name, _ColHash()), t.column(name))
 
     def hexdigest(self) -> str:
         h = hashlib.sha256()
         h.update(str(self._rows).encode())
-        h.update(self._conv.digest())
-        h.update(self._turn.digest())
-        h.update(self._lsn.digest())
+        for name in sorted(self._cols):
+            h.update(name.encode())
+            h.update(b"\x00")
+            h.update(self._cols[name].digest())
         return h.hexdigest()
 
 
@@ -109,10 +192,27 @@ def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str
     Runs INSIDE a merge task (distributed side-effect write); a retried task
     simply re-runs write-then-rename with identical content, landing on the
     identical content-addressed name.
+
+    Two fingerprints per snapshot: ``content_hash`` covers every row and
+    column (file integrity — fsck's target, and the content-addressed
+    name); ``live_hash`` covers only the surviving-upsert rows, so it is
+    INVARIANT under tombstone-dropping compaction (which preserves live
+    rows and their key order) — the exact change-identity signal
+    materialized views diff on.
     """
+    import pyarrow.compute as _pc
+
     fp = _Fingerprint()
+    lfp = _Fingerprint()
     if len(table):
         fp.update(table)
+        live = (
+            table.filter(_pc.equal(table.column("op"), "upsert"))
+            if "op" in table.column_names
+            else table
+        )
+        if len(live):
+            lfp.update(live)
     path = snapshot_path(root, pid, epoch, fp.hexdigest())
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".tmp-", suffix=".parquet")
@@ -146,6 +246,7 @@ def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str
         # enumerate candidate turn-blocks instead of scanning every file
         "max_turn_idx": int(max(turns)) if len(table) else -1,
         "content_hash": fp.hexdigest(),
+        "live_hash": lfp.hexdigest(),
     }
 
 
@@ -158,15 +259,16 @@ def write_view_snapshot(
     carry-forward / snapshot_files machinery applies unchanged, but makes NO
     assumption about the column set (no lsn/op/turn_idx): the watermark is
     supplied by the caller as the BASE-table lsn this partial reflects, and
-    the content fingerprint is a generic Arrow-IPC hash of the (caller-
-    sorted) table. Runs inside a distributed build task; retries rewrite
-    identical bytes onto the identical content-addressed name."""
-    import pyarrow.ipc as ipc
-
-    sink = pa.BufferOutputStream()
-    with ipc.new_stream(sink, table.schema) as w:
-        w.write_table(table)
-    fp = hashlib.sha256(sink.getvalue().to_pybytes()).hexdigest()
+    the content fingerprint is the same generic chunking-invariant
+    _Fingerprint the base-table writers use (round-4 advice: an IPC-bytes
+    hash depended on record-batch chunking, so a multi-row-group readback
+    could false-flag 'corrupt' in fsck). Runs inside a distributed build
+    task; retries rewrite identical bytes onto the identical
+    content-addressed name."""
+    fpr = _Fingerprint()
+    if len(table):
+        fpr.update(table)
+    fp = fpr.hexdigest()
     path = snapshot_path(root, pid, epoch, fp)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(
@@ -192,6 +294,7 @@ def write_view_snapshot(
         "lsn_watermark": int(lsn_watermark),
         "max_turn_idx": -1,
         "content_hash": fp,
+        "live_hash": fp,  # view partials carry no tombstones
     }
 
 
@@ -213,6 +316,7 @@ def write_snapshot_chunks(
     fd, tmp = tempfile.mkstemp(dir=pdir, prefix=".tmp-", suffix=".parquet")
     os.close(fd)
     fp = _Fingerprint()
+    lfp = _Fingerprint()
     rows = 0
     n_del = 0
     lsn_max = -1
@@ -224,6 +328,7 @@ def write_snapshot_chunks(
                     continue
                 writer.write_table(t)
                 rows += len(t)
+                live = t
                 if "op" in t.column_names:
                     n_del += (
                         pc.sum(
@@ -231,9 +336,12 @@ def write_snapshot_chunks(
                         ).as_py()
                         or 0
                     )
+                    live = t.filter(pc.equal(t.column("op"), "upsert"))
                 lsn_max = max(lsn_max, int(pc.max(t.column("lsn")).as_py()))
                 turn_max = max(turn_max, int(pc.max(t.column("turn_idx")).as_py()))
                 fp.update(t)
+                if len(live):
+                    lfp.update(live)
         # fingerprint is only known once the stream is drained: the
         # content-addressed final name is chosen at rename time
         path = snapshot_path(root, pid, epoch, fp.hexdigest())
@@ -254,6 +362,7 @@ def write_snapshot_chunks(
         "lsn_watermark": lsn_max,
         "max_turn_idx": turn_max,
         "content_hash": fp.hexdigest(),
+        "live_hash": lfp.hexdigest(),
     }
 
 
