@@ -1146,10 +1146,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
         """,
+        # recall-quantized contract row (see pipelines/corpus.py docstring):
+        # exact_pairs is independently recomputed here; recall is quantized
+        # to 1 decimal (asserts LSH recall >= 0.95 on the gapless synthetic
+        # distribution); false_pairs is a hard 0 (exact-cosine verify)
         "embedding_neardup_lsh": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 6) AS sim
+            SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+                   1.0 AS lsh_recall_1dp,
+                   CAST(0 AS BIGINT) AS false_pairs
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) > 0.45
