@@ -189,20 +189,30 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        # median of 3 successive incremental epochs (round-4's single-sample
+        # cell swung 1.1s → 2.6s on host noise alone; the round-5 same-machine
+        # A/B vs the round-3 commit showed no real regression — see
+        # BASELINE.md)
         inc = pq.read_table(wide_files[0])
-        inc = inc.set_column(
-            inc.column_names.index("lsn"),
-            "lsn",
-            pc.add(inc.column("lsn"), 10_000_000_000),
-        )
-        inc_path = os.path.join(work, "inc.parquet")
-        pq.write_table(inc, inc_path)
-        t0 = time.perf_counter()
-        cdc.replay_commit(
-            os.path.join(work, "table"), [wide_files, [inc_path]],
-            num_partitions=NUM_PARTITIONS,
-        )
-        queries["cdc_incremental_epoch"] = round(time.perf_counter() - t0, 3)
+        inc_epochs: list[list[str]] = [wide_files]
+        inc_times: list[float] = []
+        for k in range(3):
+            shifted = inc.set_column(
+                inc.column_names.index("lsn"),
+                "lsn",
+                pc.add(inc.column("lsn"), (k + 1) * 10_000_000_000),
+            )
+            inc_path = os.path.join(work, f"inc{k}.parquet")
+            pq.write_table(shifted, inc_path)
+            inc_epochs.append([inc_path])
+            t0 = time.perf_counter()
+            cdc.replay_commit(
+                os.path.join(work, "table"), inc_epochs,
+                num_partitions=NUM_PARTITIONS,
+            )
+            inc_times.append(round(time.perf_counter() - t0, 3))
+        queries["cdc_incremental_epoch"] = statistics.median(inc_times)
+        queries["cdc_incremental_epoch_all"] = inc_times
         queries["incremental_events_per_sec"] = round(
             len(inc) / queries["cdc_incremental_epoch"]
         )
@@ -222,7 +232,9 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
         narrow = narrow.set_column(
             narrow.column_names.index("lsn"),
             "lsn",
-            pc.add(narrow.column("lsn"), 10_000_000_000),
+            # past every incremental epoch's lsn range, so the narrow
+            # events survive the watermark prune
+            pc.add(narrow.column("lsn"), 40_000_000_000),
         )
         # bump ts past the WHOLE log's event-time span (footer stats only —
         # the span grows with n_events) so the late events WIN the
@@ -250,7 +262,7 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
         narrow_path = os.path.join(work, "narrow.parquet")
         pq.write_table(narrow, narrow_path)
         cdc.replay_commit(
-            os.path.join(work, "table"), [wide_files, [inc_path], [narrow_path]],
+            os.path.join(work, "table"), inc_epochs + [[narrow_path]],
             num_partitions=NUM_PARTITIONS,
         )
         t0 = time.perf_counter()
