@@ -147,3 +147,56 @@ def test_detect_paramstyle_matrix(tmp_path):
     assert sqlsrc._detect_paramstyle(dbapi_fake.connect(db, "format")) == "format"
     assert sqlsrc._detect_paramstyle(dbapi_fake.connect(db, "pyformat")) == "pyformat"
     assert sqlsrc._detect_paramstyle(sqlite3.connect(":memory:")) == "qmark"
+
+def test_yaml_job_decimal_money_through_fake_mysql(ray_session, tmp_path, capsys):
+    """decimal_cols end-to-end through the CLI job config (round-4 verdict
+    item 6): a YAML job writes a money column as DECIMAL(18,2) via the
+    fake-pyformat (MySQL-shaped) driver, and the stored values are exact
+    cent strings — never float reprs."""
+    import csv
+
+    from tinyetl_ray.cli import main
+
+    src = tmp_path / "money.csv"
+    cents = ["0.01", "123.45", "99999999.99", "-0.10", "10.00"]
+    with open(src, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["k", "bal"])
+        for i, v in enumerate(cents):
+            w.writerow([i, v])
+    db = tmp_path / "money.db"
+    job = tmp_path / "job.yaml"
+    job.write_text(
+        f'source: "{src}"\n'
+        f'target: "fake-mysql://{db}#accounts"\n'
+        "decimal_cols:\n"
+        '  bal: "18,2"\n'
+    )
+    assert main(["run", str(job)]) == 0
+    out = capsys.readouterr().out
+    assert "transferred 5 rows" in out
+
+    log = dbapi_fake.statement_log(str(db))
+    ddl = next(s for s, _, _ in log if s.upper().startswith("CREATE TABLE IF"))
+    assert "bal DECIMAL(18,2)" in ddl
+    assert {st for _, _, st in log} == {"pyformat"}
+    raw = sqlite3.connect(str(db)).execute(
+        "SELECT k, bal FROM accounts ORDER BY k"
+    ).fetchall()
+    assert [b for _, b in raw] == cents  # exact digit strings, to the cent
+
+
+def test_cli_transfer_to_sqlite_url(ray_session, tmp_path, capsys):
+    """The sqlite:// target URL routes the generic file transfer into the
+    SQL sink (scheme + #table, qmark binds, stdlib driver)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tinyetl_ray.cli import main
+
+    src = tmp_path / "s.parquet"
+    pq.write_table(pa.table({"k": list(range(7)), "v": ["x"] * 7}), src)
+    db = tmp_path / "t.db"
+    assert main(["transfer", str(src), f"sqlite://{db}#stuff"]) == 0
+    rows = sqlite3.connect(str(db)).execute("SELECT COUNT(*) FROM stuff").fetchone()
+    assert rows[0] == 7

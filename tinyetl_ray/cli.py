@@ -234,6 +234,34 @@ def cmd_transfer(args) -> int:
         sample = ds.limit(10).take_all()
         print(f"dry-run ok: schema={ds.schema().names} sample_rows={len(sample)}")
         return 0
+    from .sources.sql import is_sql_url
+
+    if is_sql_url(args.target):
+        # SQL target: scheme routes the dialect + driver (sqlite:// stdlib;
+        # fake-postgres/mysql/mssql:// the in-repo DBAPI double), #fragment
+        # names the table; --decimal-col / the job's decimal_cols block opt
+        # money columns into DECIMAL(p,s) DDL + exact Decimal binds
+        # (reference mysql.rs:390 keeps Decimal first-class; sql.py:313)
+        from .sources.sql import parse_decimal_cols, sql_target_from_url, write_table
+
+        connect, dialect, table = sql_target_from_url(args.target)
+        import time
+
+        t0 = time.perf_counter()
+        n = write_table(
+            ds,
+            table,
+            connect,
+            dialect=dialect,
+            truncate=args.truncate,
+            decimal_cols=parse_decimal_cols(getattr(args, "decimal_cols", None)),
+        )
+        secs = time.perf_counter() - t0
+        print(
+            f"transferred {n} rows -> {args.target} "
+            f"({secs:.2f}s, {n / max(secs, 1e-9):,.0f} rows/sec)"
+        )
+        return 0
     if args.truncate and os.path.isdir(args.target):
         shutil.rmtree(args.target)
     import time
@@ -291,6 +319,14 @@ def cmd_run(args) -> int:
         or (
             cfg["source"].get("type")
             if isinstance(cfg.get("source"), dict)
+            else None
+        ),
+        # decimal fidelity for SQL targets: top-level block or inside a
+        # structured target: mapping {col: "precision,scale"}
+        decimal_cols=cfg.get("decimal_cols")
+        or (
+            cfg["target"].get("decimal_cols")
+            if isinstance(cfg.get("target"), dict)
             else None
         ),
     )
@@ -590,6 +626,14 @@ def main(argv: list[str] | None = None) -> int:
         metavar="KEY=VALUE",
         help="protocol option (header.<Name>=v, auth.basic.username=v, "
         "auth.basic.password=v, auth.bearer=v), repeatable",
+    )
+    t.add_argument(
+        "--decimal-col",
+        action="append",
+        dest="decimal_cols",
+        metavar="COL=PRECISION,SCALE",
+        help="SQL targets only: write COL as DECIMAL(p,s) with exact "
+        "Decimal binds (e.g. --decimal-col bal=18,2), repeatable",
     )
     t.set_defaults(fn=cmd_transfer)
 

@@ -20,6 +20,7 @@ through the same ``connection_factory``.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 import pandas as pd
@@ -62,6 +63,89 @@ _DIALECT_MAX_BIND_PARAMS = {
     "mysql": 65_535, "mssql": 2_100,
 }
 _DIALECT_MAX_ROWS_PER_INSERT = {"postgres": 1_000, "mssql": 1_000, "mysql": 1_000}
+
+
+# CLI-facing SQL target URLs: scheme -> (dialect, fake-driver paramstyle;
+# None = stdlib sqlite3). The fake-* schemes route to the in-repo DBAPI
+# double (sources/dbapi_fake) declaring the paramstyle the matching real
+# driver would (psycopg2 -> format, MySQLdb -> pyformat, pymssql -> format)
+# — the sandbox's server-DB surface (reference src/connectors/postgres.rs /
+# mysql.rs / mssql.rs; the real wire protocols need servers this
+# environment doesn't have, README "Server databases").
+_SQL_URL_SCHEMES = {
+    "sqlite": ("sqlite", None),
+    "fake-postgres": ("postgres", "format"),
+    "fake-mysql": ("mysql", "pyformat"),
+    "fake-mssql": ("mssql", "format"),
+}
+
+
+def is_sql_url(url: str) -> bool:
+    return "://" in url and url.split("://", 1)[0].lower() in _SQL_URL_SCHEMES
+
+
+def sql_target_from_url(url: str) -> tuple[Callable, str, str]:
+    """Parse ``scheme://[host]/path/db[#table]`` into (connection_factory,
+    dialect, table). The database is the URL path; the ``#fragment`` names
+    the table (the same #table convention sources/urls.py uses for file
+    sources, reference src/cli.rs table-name resolution), defaulting to the
+    db file's stem. The factory is picklable (Ray write actors call it)."""
+    scheme, rest = url.split("://", 1)
+    dialect, style = _SQL_URL_SCHEMES[scheme.lower()]
+    frag = None
+    if "#" in rest:
+        rest, frag = rest.split("#", 1)
+    if rest.startswith("/"):
+        path = rest
+    elif "/" in rest:  # tolerate a host segment: fake-mysql://host/tmp/x.db
+        path = rest[rest.index("/") :]
+    else:
+        path = rest  # bare relative filename
+    table = frag or os.path.splitext(os.path.basename(path))[0]
+    _check_ident(table)
+    if style is None:
+
+        def connect(p=path):
+            import sqlite3
+            from decimal import Decimal
+
+            # exact-digit Decimal binds (write_table's decimal_cols path);
+            # server drivers accept Decimal natively, sqlite3 needs this
+            sqlite3.register_adapter(Decimal, str)
+            return sqlite3.connect(p, check_same_thread=False)
+
+    else:
+
+        def connect(p=path, s=style):
+            from . import dbapi_fake
+
+            return dbapi_fake.connect(p, s)
+
+    return connect, dialect, table
+
+
+def parse_decimal_cols(spec) -> dict[str, tuple[int, int]] | None:
+    """Normalize the CLI/YAML decimal-column forms into write_table's
+    ``{col: (precision, scale)}``: accepts a mapping ``{col: "18,2"}``
+    (job-config block) or an iterable of ``"col=18,2"`` strings
+    (repeatable --decimal-col flags)."""
+    if not spec:
+        return None
+    items: list[tuple[str, str]] = (
+        list(spec.items())
+        if isinstance(spec, dict)
+        else [tuple(s.split("=", 1)) for s in spec]
+    )
+    out: dict[str, tuple[int, int]] = {}
+    for col, ps in items:
+        try:
+            p, s = (int(x) for x in str(ps).split(","))
+        except ValueError as e:
+            raise ValueError(
+                f"decimal column {col!r}: want 'precision,scale', got {ps!r}"
+            ) from e
+        out[_check_ident(col.strip())] = (p, s)
+    return out
 
 
 def _logical_type(dtype) -> str:
