@@ -174,6 +174,29 @@ assert tx[\"shape\"] == \"transcripts\" and tx[\"rows\"] > 0
 assert wx[\"shape\"] == \"windows\" and wx[\"rows\"] >= tx[\"rows\"]
 " 2>/dev/null'
 
+# 11: money to a SQL target — YAML job writes DECIMAL(18,2) through the
+# MySQL-shaped (pyformat) fake server driver; stored values are exact cents
+cat > "$OUT/11_money.csv" <<CSV
+k,bal
+0,0.01
+1,123.45
+2,99999999.99
+3,-0.10
+CSV
+cat > "$OUT/11_job.yaml" <<YAML
+source: "$OUT/11_money.csv"
+target: "fake-mysql://$OUT/11_money.db#accounts"
+decimal_cols:
+  bal: "18,2"
+YAML
+python -m tinyetl_ray.cli run "$OUT/11_job.yaml" >/dev/null 2>&1
+check "11_decimal_sql_target" 'python -c "
+import sqlite3
+rows = sqlite3.connect(\"$OUT/11_money.db\").execute(
+    \"SELECT bal FROM accounts ORDER BY k\").fetchall()
+assert [b for (b,) in rows] == [\"0.01\", \"123.45\", \"99999999.99\", \"-0.10\"]
+" 2>/dev/null'
+
 echo "----------------------------------------"
 echo "examples: $pass passed, $fail failed (out: $OUT)"
 [ "$fail" -eq 0 ]
