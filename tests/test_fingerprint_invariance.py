@@ -62,3 +62,47 @@ def test_hash_differs_for_different_content(tmp_path):
     m1 = mf.write_snapshot(str(tmp_path), 0, 0, t)
     m2 = mf.write_snapshot(str(tmp_path), 1, 0, t2)
     assert m1["content_hash"] != m2["content_hash"]
+
+
+def test_payload_only_mutation_changes_hash_and_filename(tmp_path):
+    """Round-4 advice pin: two snapshots identical in every KEY column
+    (conv_id, turn_idx, lsn) but differing in one payload byte must produce
+    distinct content_hashes — and therefore distinct content-addressed
+    filenames (no clobber collision) — and payload bit rot must be visible
+    to fsck's recompute."""
+    t = _table()
+    texts = t.column("text").to_pylist()
+    texts[500] = texts[500] + "!"  # one payload byte, keys untouched
+    t2 = t.set_column(t.column_names.index("text"), "text", pa.array(texts))
+    m1 = mf.write_snapshot(str(tmp_path), 0, 0, t)
+    m2 = mf.write_snapshot(str(tmp_path), 1, 0, t2)
+    assert m1["content_hash"] != m2["content_hash"]
+    assert os.path.basename(m1["file"]) != os.path.basename(m2["file"])
+    # same check for a null-flip (mask stream, not value stream)
+    tools = t.column("tool").to_pylist()
+    tools[0] = "search"
+    t3 = t.set_column(t.column_names.index("tool"), "tool", pa.array(tools, pa.string()))
+    m3 = mf.write_snapshot(str(tmp_path), 2, 0, t3)
+    assert m3["content_hash"] != m1["content_hash"]
+
+
+def test_live_hash_invariant_under_tombstone_drop(tmp_path):
+    """live_hash covers only surviving upserts: a snapshot carrying
+    tombstones and its compacted twin (tombstones dropped, live rows and
+    order preserved) must agree on live_hash while their content_hashes
+    differ — the exact identity signal view refresh diffs on."""
+    import pyarrow.compute as pc
+
+    t = _table()
+    ops = ["delete" if i % 10 == 0 else "upsert" for i in range(len(t))]
+    t_del = t.set_column(t.column_names.index("op"), "op", pa.array(ops))
+    t_compacted = t_del.filter(pc.equal(t_del.column("op"), "upsert"))
+    m_full = mf.write_snapshot(str(tmp_path), 0, 0, t_del)
+    m_comp = mf.write_snapshot(str(tmp_path), 1, 1, t_compacted)
+    assert m_full["live_hash"] == m_comp["live_hash"]
+    assert m_full["content_hash"] != m_comp["content_hash"]
+    # and the chunked writer agrees with the whole-table writer on BOTH
+    chunks = [t_del.slice(0, 137), t_del.slice(137, 400), t_del.slice(537)]
+    m_chunked = mf.write_snapshot_chunks(str(tmp_path), 2, 0, iter(chunks), t_del.schema)
+    assert m_chunked["content_hash"] == m_full["content_hash"]
+    assert m_chunked["live_hash"] == m_full["live_hash"]
