@@ -106,3 +106,56 @@ def test_live_hash_invariant_under_tombstone_drop(tmp_path):
     m_chunked = mf.write_snapshot_chunks(str(tmp_path), 2, 0, iter(chunks), t_del.schema)
     assert m_chunked["content_hash"] == m_full["content_hash"]
     assert m_chunked["live_hash"] == m_full["live_hash"]
+
+
+# --- property: the digest is a function of the ROW STREAM only -------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _diverse_table(rows: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            "s": pa.array([r["s"] for r in rows], pa.string()),
+            "i": pa.array([r["i"] for r in rows], pa.int64()),
+            "f": pa.array([r["f"] for r in rows], pa.float64()),
+            "b": pa.array([r["b"] for r in rows], pa.bool_()),
+            "ts": pa.array([r["i"] for r in rows], pa.timestamp("us")),
+        }
+    )
+
+
+_row = st.fixed_dictionaries(
+    {
+        # unicode (multi-byte), empty strings, and nulls all hit the
+        # var-width mask/length/data streams differently
+        "s": st.one_of(st.none(), st.text(max_size=8)),
+        "i": st.integers(min_value=-(2**40), max_value=2**40),
+        "f": st.one_of(st.none(), st.floats(allow_nan=False, width=64)),
+        "b": st.one_of(st.none(), st.booleans()),
+    }
+)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(_row, min_size=1, max_size=60),
+    cuts=st.lists(st.integers(min_value=0, max_value=59), max_size=4),
+)
+def test_fingerprint_is_chunking_invariant_property(rows, cuts):
+    """Any slicing of the same row stream (including empty slices and
+    offset-bearing slices) must hash identically; permuting rows must not
+    (fingerprint is order-sensitive by design — snapshots are key-sorted)."""
+    t = _diverse_table(rows)
+    whole = mf._Fingerprint()
+    whole.update(t)
+    bounds = sorted({c for c in cuts if c <= len(t)} | {0, len(t)})
+    sliced = mf._Fingerprint()
+    for lo, hi in zip(bounds, bounds[1:]):
+        sliced.update(t.slice(lo, hi - lo))
+    assert sliced.hexdigest() == whole.hexdigest()
+    if len(t) > 1 and not t.slice(0, 1).equals(t.slice(len(t) - 1, 1)):
+        rev = mf._Fingerprint()
+        rev.update(t.take(list(range(len(t) - 1, -1, -1))))
+        assert rev.hexdigest() != whole.hexdigest()
