@@ -200,3 +200,37 @@ def test_cli_transfer_to_sqlite_url(ray_session, tmp_path, capsys):
     assert main(["transfer", str(src), f"sqlite://{db}#stuff"]) == 0
     rows = sqlite3.connect(str(db)).execute("SELECT COUNT(*) FROM stuff").fetchone()
     assert rows[0] == 7
+
+
+def test_sql_url_relative_path_stays_relative(tmp_path, monkeypatch):
+    """sqlite://out/data.db means ./out/data.db, NOT /data.db: a relative
+    path with directories must not have its first segment eaten as a host.
+    Explicit host forms (localhost, host:port) still strip the host."""
+    paths = {
+        "sqlite://out/data.db#t": "out/data.db",
+        "sqlite://plain.db#t": "plain.db",
+        "sqlite:///abs/p.db#t": "/abs/p.db",
+        "fake-mysql://localhost/tmp/x.db#t": "/tmp/x.db",
+        "fake-mysql://db:3306/tmp/x.db#t": "/tmp/x.db",
+    }
+    for url, want in paths.items():
+        connect, _dialect, _table = sqlsrc.sql_target_from_url(url)
+        assert connect.__defaults__[0] == want, (url, connect.__defaults__)
+    # end-to-end: the relative URL lands in cwd-relative out/, not /
+    monkeypatch.chdir(tmp_path)
+    connect, _, table = sqlsrc.sql_target_from_url("sqlite://out/data.db#t")
+    os.makedirs("out", exist_ok=True)
+    con = connect()
+    con.execute("CREATE TABLE t (x INTEGER)")
+    con.commit()
+    con.close()
+    assert (tmp_path / "out" / "data.db").exists()
+
+
+def test_parse_decimal_cols_friendly_errors():
+    assert sqlsrc.parse_decimal_cols(["bal=18,2"]) == {"bal": (18, 2)}
+    assert sqlsrc.parse_decimal_cols({"bal": "18,2"}) == {"bal": (18, 2)}
+    with pytest.raises(ValueError, match="col=precision,scale"):
+        sqlsrc.parse_decimal_cols(["bal18,2"])  # missing '='
+    with pytest.raises(ValueError, match="precision,scale"):
+        sqlsrc.parse_decimal_cols(["bal=18"])  # missing scale

@@ -159,3 +159,70 @@ def test_fingerprint_is_chunking_invariant_property(rows, cuts):
         rev = mf._Fingerprint()
         rev.update(t.take(list(range(len(t) - 1, -1, -1))))
         assert rev.hexdigest() != whole.hexdigest()
+
+
+def test_digest_covers_logical_type_and_exotic_columns(tmp_path):
+    """Type identity and fallback-type determinism: identical value bytes
+    under different logical types must not collide, and decimal/list/struct
+    columns (numpy object-dtype conversions — where .tobytes() would hash
+    PyObject pointers) must hash by VALUE, deterministically, with chunking
+    invariance."""
+    from decimal import Decimal
+
+    from tinyetl_ray.state import manifest as mf2
+
+    def fp(t):
+        f = mf2._Fingerprint()
+        f.update(t)
+        return f.hexdigest()
+
+    # same integers, different logical type -> different digest
+    assert fp(pa.table({"x": pa.array([1, 2, 3], pa.int64())})) != fp(
+        pa.table({"x": pa.array([1, 2, 3], pa.timestamp("us"))})
+    )
+    assert fp(pa.table({"x": pa.array([True, False], pa.bool_())})) != fp(
+        pa.table({"x": pa.array([1, 0], pa.uint8())})
+    )
+    # large_string canonicalizes to string (same logical values, one digest)
+    assert fp(pa.table({"x": pa.array(["ab", "c"], pa.string())})) == fp(
+        pa.table({"x": pa.array(["ab", "c"], pa.large_string())})
+    )
+    # object-dtype families: equal values -> equal digest (fresh instances),
+    # one-value change -> different digest, slicing -> same digest
+    dec = pa.array([Decimal("1.23"), Decimal("4.56")], pa.decimal128(10, 2))
+    lst = pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32()))
+    stc = pa.array([{"a": 1}, {"a": 2}])
+    t = pa.table({"d": dec, "v": lst, "s": stc})
+    t_same = pa.table(
+        {
+            "d": pa.array([Decimal("1.23"), Decimal("4.56")], pa.decimal128(10, 2)),
+            "v": pa.array([[1.0, 2.0], [3.0]], pa.list_(pa.float32())),
+            "s": pa.array([{"a": 1}, {"a": 2}]),
+        }
+    )
+    assert fp(t) == fp(t_same)
+    t_diff = t.set_column(0, "d", pa.array(
+        [Decimal("1.23"), Decimal("4.57")], pa.decimal128(10, 2)))
+    assert fp(t) != fp(t_diff)
+    f_sliced = mf._Fingerprint()
+    f_sliced.update(t.slice(0, 1))
+    f_sliced.update(t.slice(1))
+    assert f_sliced.hexdigest() == fp(t)
+
+
+def test_live_hash_empty_is_canonical_empty_string(tmp_path):
+    """A snapshot with ZERO surviving upserts records live_hash \"\" — the
+    same encoding the compaction/repartition pseudo-rows use for emptied
+    partitions — so a view refresh never sees two spellings of 'empty'."""
+    t = _table(20)
+    all_dead = t.set_column(
+        t.column_names.index("op"), "op", pa.array(["delete"] * len(t))
+    )
+    m = mf.write_snapshot(str(tmp_path), 0, 0, all_dead)
+    assert m["live_rows"] == 0 and m["live_hash"] == ""
+    m_chunked = mf.write_snapshot_chunks(
+        str(tmp_path), 1, 0, iter([all_dead.slice(0, 7), all_dead.slice(7)]), all_dead.schema
+    )
+    assert m_chunked["live_hash"] == ""
+    assert m["content_hash"] == m_chunked["content_hash"]  # content still hashed
+    assert m["fp_scheme"] == mf.FP_SCHEME == m_chunked["fp_scheme"]

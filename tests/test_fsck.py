@@ -114,3 +114,29 @@ def test_fsck_ignores_inflight_tmp_files(tmp_path):
         f.write(b"partial write in progress")
     r = cdc.fsck(root)
     assert r["ok"] and not r["orphans"]
+
+
+def test_fsck_legacy_scheme_rows_are_not_corrupt(tmp_path):
+    """A manifest row written under an OLDER fingerprint scheme (different
+    or missing fp_scheme) is existence-checked but never hash-compared: a
+    digest-formula upgrade must not report intact pre-upgrade snapshots as
+    corrupt. Rows under the current scheme in the same commit still verify."""
+    import json
+
+    root = _mk_table(tmp_path)
+    # age one live row in the latest commit file to the pre-versioning form
+    cpath = os.path.join(root, mf.COMMITS_DIR, sorted(
+        os.listdir(os.path.join(root, mf.COMMITS_DIR)))[-1])
+    with open(cpath) as f:
+        commit = json.load(f)
+    aged = next(m for m in commit["partitions"] if m["rows"] > 0)
+    aged.pop("fp_scheme", None)
+    aged["content_hash"] = "0" * 64  # old-formula hash can never match
+    with open(cpath, "w") as f:
+        json.dump(commit, f)
+    r = cdc.fsck(root)
+    assert r["ok"], r
+    assert aged["file"] in r["legacy_unverified"]
+    assert aged["file"] not in r["corrupt"]
+    # the other (current-scheme) rows were still recomputed
+    assert r["checked"] >= 1

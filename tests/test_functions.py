@@ -746,3 +746,25 @@ def test_wav_8bit_unsigned():
     assert np.allclose(samples[:100], 0.0)          # silence at midpoint
     assert samples[100:110].max() > 0.9             # full-scale positive
     assert samples[110:120].min() < -0.9            # full-scale negative
+
+
+def test_embedding_neardup_lsh_contract_row_zero_pairs(ray_session, monkeypatch, tmp_path):
+    """Total recall collapse (or a genuinely pair-free corpus) must come
+    back as a contract row with recall 0.0 / exact_pairs 0 — not crash on
+    the column-less DataFrame Ray yields for an empty result."""
+    import pandas as pd
+    import ray.data
+
+    from tinyetl_ray.pipelines import corpus
+    from tinyetl_ray.functions import dedup as dd_mod
+
+    empty = ray.data.from_pandas(pd.DataFrame({"id_a": [], "id_b": []})).filter(
+        lambda r: False
+    )
+    monkeypatch.setattr(dd_mod, "embedding_neardup_lsh", lambda ds, threshold: empty)
+    monkeypatch.setattr(dd_mod, "embedding_neardup_pairs", lambda ds, threshold: empty)
+    monkeypatch.setattr(corpus, "_embs", lambda sf_dir: None)
+    row = corpus.embedding_neardup_lsh(str(tmp_path)).iloc[0]
+    assert row["exact_pairs"] == 0
+    assert row["lsh_recall_1dp"] == 0.0
+    assert row["false_pairs"] == 0

@@ -1135,6 +1135,10 @@ def fsck(table_root: str, all_epochs: bool = False) -> dict[str, Any]:
         (debris from a writer that died before its commit published; safe
         to delete, and vacuum-style GC never sees them because it walks
         manifests of retained commits)
+      - ``legacy_unverified`` — referenced snapshots whose manifest rows
+        were written under an older fingerprint scheme (no ``fp_scheme`` or
+        a different version): existence-checked only, never recomputed —
+        a formula change must not report intact pre-upgrade data corrupt
 
     Verification fans out one Ray task batch per snapshot and STREAMS each
     file row-group-wise through the same chunking-invariant ALL-COLUMNS
@@ -1158,9 +1162,14 @@ def fsck(table_root: str, all_epochs: bool = False) -> dict[str, Any]:
     latest_epoch = commits[-1]["epoch"]
 
     # (file, expected_hash) for every referenced live snapshot; dedup —
-    # carried-forward manifests reference the same file across epochs
+    # carried-forward manifests reference the same file across epochs.
+    # Rows written under an OLDER fingerprint scheme (manifest.FP_SCHEME
+    # records the formula version) cannot be recomputed-and-compared by
+    # this build: they are reported "legacy_unverified", never falsely
+    # "corrupt" (existence is still checked).
     ref: dict[str, str] = {}
     missing: list[str] = []
+    legacy: list[str] = []
     for c in chosen:
         for m in c["partitions"]:
             if m["rows"] <= 0:
@@ -1172,6 +1181,10 @@ def fsck(table_root: str, all_epochs: bool = False) -> dict[str, Any]:
                 # commit a missing file is table-breaking
                 if c["epoch"] == latest_epoch:
                     missing.append(f)
+                continue
+            if m.get("fp_scheme") != mf.FP_SCHEME:
+                if f not in legacy:
+                    legacy.append(f)
                 continue
             ref.setdefault(f, m["content_hash"])
 
@@ -1221,6 +1234,7 @@ def fsck(table_root: str, all_epochs: bool = False) -> dict[str, Any]:
         "epochs_audited": [c["epoch"] for c in chosen],
         "missing": sorted(missing),
         "corrupt": sorted(corrupt),
+        "legacy_unverified": sorted(legacy),
         "orphans": sorted(orphans),
     }
 

@@ -634,10 +634,19 @@ def embedding_neardup_lsh(sf_dir: str):
 
     found = dd.embedding_neardup_lsh(_embs(sf_dir), threshold=0.45).to_pandas()
     exact = dd.embedding_neardup_pairs(_embs(sf_dir), threshold=0.45).to_pandas()
+
     # pair lists are bounded by the true-pair count (~10^2 at sf0.1): a
-    # driver-side set compare is fine and is the point of the contract row
-    f = set(zip(found["id_a"], found["id_b"]))
-    e = set(zip(exact["id_a"], exact["id_b"]))
+    # driver-side set compare is fine and is the point of the contract row.
+    # A zero-pair side comes back as a COLUMN-LESS DataFrame (Ray drops
+    # empty blocks), so guard the column access — total recall collapse
+    # must report recall 0.0, not crash.
+    def _pairs(df) -> set:
+        if "id_a" not in df.columns:
+            return set()
+        return set(zip(df["id_a"], df["id_b"]))
+
+    f = _pairs(found)
+    e = _pairs(exact)
     return pd.DataFrame(
         {
             "exact_pairs": [len(e)],

@@ -97,8 +97,15 @@ def sql_target_from_url(url: str) -> tuple[Callable, str, str]:
         rest, frag = rest.split("#", 1)
     if rest.startswith("/"):
         path = rest
-    elif "/" in rest:  # tolerate a host segment: fake-mysql://host/tmp/x.db
-        path = rest[rest.index("/") :]
+    elif "/" in rest:
+        head, tail = rest.split("/", 1)
+        # tolerate an EXPLICIT host segment (fake-mysql://localhost/tmp/x.db,
+        # host:port) — but a plain first directory is a RELATIVE path
+        # (sqlite://out/data.db means ./out/data.db, not /data.db)
+        if head in ("localhost", "127.0.0.1") or ":" in head:
+            path = "/" + tail
+        else:
+            path = rest  # relative path with directories
     else:
         path = rest  # bare relative filename
     table = frag or os.path.splitext(os.path.basename(path))[0]
@@ -131,11 +138,17 @@ def parse_decimal_cols(spec) -> dict[str, tuple[int, int]] | None:
     (repeatable --decimal-col flags)."""
     if not spec:
         return None
-    items: list[tuple[str, str]] = (
-        list(spec.items())
-        if isinstance(spec, dict)
-        else [tuple(s.split("=", 1)) for s in spec]
-    )
+    if isinstance(spec, dict):
+        items: list[tuple[str, str]] = list(spec.items())
+    else:
+        items = []
+        for s in spec:
+            if "=" not in str(s):
+                raise ValueError(
+                    f"decimal column spec {s!r}: want 'col=precision,scale'"
+                )
+            col, _, ps = str(s).partition("=")
+            items.append((col, ps))
     out: dict[str, tuple[int, int]] = {}
     for col, ps in items:
         try:

@@ -71,22 +71,37 @@ def _atomic_write_bytes(path: str, data: bytes) -> None:
                 pass
 
 
+# Fingerprint scheme version, recorded in every manifest row that carries a
+# content_hash. Bump whenever the digest formula changes (scheme 1 was the
+# round-3 key-only / view-IPC hash; scheme 2 is the all-columns, type-aware
+# digest below). fsck only recomputes-and-compares rows whose recorded
+# scheme matches — older rows are reported "legacy_unverified", never
+# falsely "corrupt".
+FP_SCHEME = 2
+
+
 class _ColHash:
     """Three running sha256 streams for ONE column: null mask, primary
     bytes (fixed-width values, or per-row lengths for var-width), and
     var-width data bytes. Keeping the streams separate is what makes the
     digest chunking-invariant: each stream's per-chunk contribution
-    concatenates to exactly the whole-column byte sequence."""
+    concatenates to exactly the whole-column byte sequence. The column's
+    canonical Arrow type name (recorded once, on the first chunk) is mixed
+    into the final digest so identical value bytes under different logical
+    types (int64 vs timestamp[us], bool vs uint8) cannot collide."""
 
-    __slots__ = ("mask", "a", "b")
+    __slots__ = ("mask", "a", "b", "typ")
 
     def __init__(self):
         self.mask = hashlib.sha256()
         self.a = hashlib.sha256()
         self.b = hashlib.sha256()
+        self.typ: str | None = None
 
     def digest(self) -> bytes:
         h = hashlib.sha256()
+        h.update((self.typ or "").encode())
+        h.update(b"\x00")
         h.update(self.mask.digest())
         h.update(self.a.digest())
         h.update(self.b.digest())
@@ -102,9 +117,15 @@ def _update_col_hash(ch: _ColHash, col: pa.ChunkedArray | pa.Array) -> None:
         data bytes -> ``b`` (no per-byte-position loop — sha256 over the
         Arrow data buffer slice directly)
       - fixed-width (int/float/bool/temporal): null-filled values' native
-        bytes -> ``a`` (temporals/bools canonicalized via int cast)
-      - anything else: canonical per-row uint64 hash of the string
-        rendering -> ``a``
+        bytes -> ``a`` (temporals/bools canonicalized via int cast; the
+        ORIGINAL logical type still disambiguates via the recorded type
+        name, so int64 [1,2,3] and timestamp[us] [1,2,3] differ)
+      - anything else (decimal/list/struct/...): canonical per-row uint64
+        hash of the string rendering -> ``a``; if even the string cast is
+        unsupported, a per-row sha256 of the repr. An object-dtype numpy
+        result is explicitly rejected before hashing — ``.tobytes()`` on
+        object arrays emits PyObject POINTERS, which would make the digest
+        nondeterministic across processes.
     """
     import numpy as np
     import pyarrow.compute as pc
@@ -125,6 +146,11 @@ def _update_col_hash(ch: _ColHash, col: pa.ChunkedArray | pa.Array) -> None:
         col, typ = col.cast(pa.string()), pa.string()
     elif pa.types.is_large_binary(typ):
         col, typ = col.cast(pa.binary()), pa.binary()
+    if ch.typ is None:
+        # canonical type identity: recorded AFTER the large->normal
+        # normalization (same logical values), BEFORE the int/uint casts
+        # below (different logical types must stay distinct)
+        ch.typ = str(typ)
     if pa.types.is_string(typ) or pa.types.is_binary(typ):
         bufs = col.buffers()  # [validity, offsets(int32), data]
         off = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1 + col.offset)[
@@ -146,11 +172,21 @@ def _update_col_hash(ch: _ColHash, col: pa.ChunkedArray | pa.Array) -> None:
         col = pc.cast(col, pa.uint8())
     try:
         vals = pc.fill_null(col, 0) if col.null_count else col
-        ch.a.update(vals.to_numpy(zero_copy_only=False).tobytes())
+        np_vals = vals.to_numpy(zero_copy_only=False)
+        if np_vals.dtype == object:
+            raise ValueError("object dtype: tobytes() would hash pointers")
+        ch.a.update(np_vals.tobytes())
     except (pa.ArrowInvalid, pa.ArrowNotImplementedError, ValueError):
-        from ..hashing import hash_strings
+        try:
+            from ..hashing import hash_strings
 
-        ch.a.update(hash_strings(pc.cast(col, pa.string())).tobytes())
+            ch.a.update(hash_strings(pc.cast(col, pa.string())).tobytes())
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            # last resort (nested types pyarrow can't render): per-row
+            # sha256 of the repr — slow but deterministic, and per-row
+            # framing keeps the stream chunking-invariant
+            for v in col.to_pylist():
+                ch.a.update(hashlib.sha256(repr(v).encode()).digest())
 
 
 class _Fingerprint:
@@ -204,6 +240,7 @@ def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str
 
     fp = _Fingerprint()
     lfp = _Fingerprint()
+    n_live_hashed = 0
     if len(table):
         fp.update(table)
         live = (
@@ -213,6 +250,7 @@ def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str
         )
         if len(live):
             lfp.update(live)
+            n_live_hashed = len(live)
     path = snapshot_path(root, pid, epoch, fp.hexdigest())
     os.makedirs(os.path.dirname(path), exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".tmp-", suffix=".parquet")
@@ -246,7 +284,12 @@ def write_snapshot(root: str, pid: int, epoch: int, table: pa.Table) -> dict[str
         # enumerate candidate turn-blocks instead of scanning every file
         "max_turn_idx": int(max(turns)) if len(table) else -1,
         "content_hash": fp.hexdigest(),
-        "live_hash": lfp.hexdigest(),
+        "fp_scheme": FP_SCHEME,
+        # canonical "no surviving rows" is "" — the same value the
+        # compaction/repartition pseudo-rows for emptied partitions use,
+        # so a view refresh never sees two encodings of 'empty' and
+        # rebuilds a partition whose live content didn't change
+        "live_hash": lfp.hexdigest() if n_live_hashed else "",
     }
 
 
@@ -294,7 +337,9 @@ def write_view_snapshot(
         "lsn_watermark": int(lsn_watermark),
         "max_turn_idx": -1,
         "content_hash": fp,
-        "live_hash": fp,  # view partials carry no tombstones
+        "fp_scheme": FP_SCHEME,
+        # view partials carry no tombstones; "" is the canonical empty
+        "live_hash": fp if len(table) else "",
     }
 
 
@@ -317,6 +362,7 @@ def write_snapshot_chunks(
     os.close(fd)
     fp = _Fingerprint()
     lfp = _Fingerprint()
+    n_live_hashed = 0
     rows = 0
     n_del = 0
     lsn_max = -1
@@ -342,6 +388,7 @@ def write_snapshot_chunks(
                 fp.update(t)
                 if len(live):
                     lfp.update(live)
+                    n_live_hashed += len(live)
         # fingerprint is only known once the stream is drained: the
         # content-addressed final name is chosen at rename time
         path = snapshot_path(root, pid, epoch, fp.hexdigest())
@@ -362,7 +409,8 @@ def write_snapshot_chunks(
         "lsn_watermark": lsn_max,
         "max_turn_idx": turn_max,
         "content_hash": fp.hexdigest(),
-        "live_hash": lfp.hexdigest(),
+        "fp_scheme": FP_SCHEME,
+        "live_hash": lfp.hexdigest() if n_live_hashed else "",
     }
 
 
