@@ -105,15 +105,12 @@ def default_shuffle_blocks() -> int:
     combined/pre-reduced stream to ~half the cluster's cores keeps map tasks
     busy while minimizing shuffle objects; floor of 16 preserves parallelism
     on small sessions, and on a real multi-node cluster this scales with
-    total cores.
+    total cores. Delegates to the shared heuristic in ``hashing`` (also
+    used by the dedup and parity pipelines) so one tuning serves all paths.
     """
-    try:
-        import ray
+    from ..hashing import shuffle_blocks
 
-        cores = int(ray.cluster_resources().get("CPU", 16))
-    except Exception:
-        cores = 16
-    return max(16, cores // 2)
+    return shuffle_blocks(floor=16, divisor=2)
 
 
 def base_as_changes(batch: pa.Table, change_schema: pa.Schema) -> pa.Table:
@@ -179,8 +176,14 @@ def replay(
     )
     ds = ds.map_batches(PreReduce(), batch_format="pyarrow")
     if base is not None:
+        # base rows get the SAME validation as change events: an unvalidated
+        # null-ts base row would sort last in every LWW run (nulls-last) and
+        # beat every real event — including deletes — forever
         b = base.map_batches(
             lambda t, s=schema: base_as_changes(t, s), batch_format="pyarrow"
+        ).map_batches(
+            DecodeValidate(schema, on_error=on_error, quarantine_dir=quarantine_dir),
+            batch_format="pyarrow",
         )
         ds = ds.union(b)
     ds = ds.map_batches(AddPartitionId(num_partitions, turn_block), batch_format="pyarrow")
@@ -497,8 +500,19 @@ def replay_commit(
             )
         ds = ds.map_batches(PreReduce(), batch_format="pyarrow")
         if bootstrap_base:
-            b = ray.data.read_parquet(bootstrap_base).map_batches(
-                lambda t, s=schema: base_as_changes(t, s), batch_format="pyarrow"
+            # same validation as change events (see replay): null-ts /
+            # negative-turn base rows must not slip past the merge invariants
+            b = (
+                ray.data.read_parquet(bootstrap_base)
+                .map_batches(
+                    lambda t, s=schema: base_as_changes(t, s), batch_format="pyarrow"
+                )
+                .map_batches(
+                    DecodeValidate(
+                        schema, on_error=on_error, quarantine_dir=quarantine_dir
+                    ),
+                    batch_format="pyarrow",
+                )
             )
             ds = ds.union(b)
         ds = ds.map_batches(AddPartitionId(num_partitions, turn_block), batch_format="pyarrow")
@@ -604,7 +618,11 @@ def replay_commit(
                     "delete_events": sum(
                         int(m.get("delete_events", 0)) for m in manifests
                     ),
-                    "live_rows": sum(int(m["live_rows"]) for m in manifests),
+                    # carried-forward rows from a legacy commit may predate
+                    # the live_rows field (same fallback as table_stats)
+                    "live_rows": sum(
+                        int(m.get("live_rows", m["rows"])) for m in manifests
+                    ),
                     "secs": secs,
                     "events_per_sec": int(ev / max(secs, 1e-9)),
                     "watermark": commits[-1]["watermark"],
@@ -677,6 +695,19 @@ def compact(table_root: str, drop_tombstones: bool = True) -> dict[str, Any]:
             man["lsn_watermark"] = max(
                 int(man["lsn_watermark"]), int(pw.get(m["partition"], -1))
             )
+            if man["rows"] == 0:
+                # every row was a dropped tombstone: don't reference the
+                # 0-row file (fsck/vacuum treat rows>0 as 'live'; a
+                # referenced-but-filtered-out file would read as an orphan)
+                # — use the same explicitly-empty row the carry-forward
+                # path below emits for untouched empty partitions
+                try:
+                    os.remove(os.path.join(root, man["file"]))
+                except OSError:
+                    pass
+                man["file"] = ""
+                man["content_hash"] = ""
+                man.pop("fp_scheme", None)
             rows.append(man)
         return pa.Table.from_pylist(rows)
 
@@ -830,6 +861,16 @@ def repartition_table(
     )
 
 
+def _snapshot_file_epoch(fname: str) -> int | None:
+    """Epoch encoded in a snapshot filename (``epoch-NNNNNN[-fp].parquet``),
+    or None if the name doesn't follow the writers' convention."""
+    if not (fname.startswith("epoch-") and fname.endswith(".parquet")):
+        return None
+    core = fname[len("epoch-") : -len(".parquet")]
+    num = core.split("-", 1)[0]
+    return int(num) if num.isdigit() else None
+
+
 def vacuum(table_root: str, keep_last: int = 2) -> dict[str, Any]:
     """Snapshot GC (Delta-VACUUM analog): delete partition snapshot files
     referenced ONLY by commits older than the newest ``keep_last`` — those
@@ -846,14 +887,29 @@ def vacuum(table_root: str, keep_last: int = 2) -> dict[str, Any]:
         for m in c["partitions"]
         if m["rows"] > 0
     }
+    latest_epoch = int(commits[-1]["epoch"])
     deleted = 0
     parts_dir = os.path.join(table_root, mf.PARTS_DIR)
     for dirpath, _dirs, files in os.walk(parts_dir):
         for f in files:
+            if f.startswith(".tmp-"):
+                # a live writer's in-flight atomic write: deleting it fails
+                # that writer's publish rename (same exemption fsck makes)
+                continue
+            if not f.endswith(".parquet"):
+                continue
             p = os.path.abspath(os.path.join(dirpath, f))
-            if p.endswith(".parquet") and p not in referenced:
-                os.remove(p)
-                deleted += 1
+            if p in referenced:
+                continue
+            ep = _snapshot_file_epoch(f)
+            if ep is not None and ep > latest_epoch:
+                # completed snapshot of a writer racing toward the NEXT
+                # commit — unreferenced only because its commit hasn't
+                # published yet; a later vacuum (after more commits) will
+                # collect it if that writer lost or died
+                continue
+            os.remove(p)
+            deleted += 1
     return {
         "deleted_files": deleted,
         "retained_epochs": [c["epoch"] for c in keep],
@@ -916,11 +972,14 @@ def tail(
         # retire entries for pruned files (keeps the state bounded; a reused
         # name will mismatch on fingerprint and be re-processed anyway)
         seen = {k: v for k, v in seen.items() if k in set(files)}
-        new = [
-            f
-            for f in files
-            if seen.get(f) != fingerprint(os.path.join(watch_dir, f))
-        ]
+        # fingerprint ONCE, before the apply: these pre-apply stats are what
+        # get persisted as 'applied'. Re-statting after replay_commit would
+        # mark a file a shipper rewrote DURING the apply as done without its
+        # new content ever being applied; with the pre-apply stat, a
+        # mid-apply rewrite mismatches on the next poll and re-applies
+        # (a no-op for the already-merged rows under LWW idempotence).
+        stats_now = {f: fingerprint(os.path.join(watch_dir, f)) for f in files}
+        new = [f for f in files if seen.get(f) != stats_now[f]]
         if new:
             idle = 0
             # ALL currently-unseen files apply as ONE change epoch (they are
@@ -949,7 +1008,7 @@ def tail(
                 continue
             applied.extend(commits)
             for f in new:
-                seen[f] = fingerprint(os.path.join(watch_dir, f))
+                seen[f] = stats_now[f]
             save_state(seen)
         else:
             idle += 1
@@ -1239,6 +1298,29 @@ def fsck(table_root: str, all_epochs: bool = False) -> dict[str, Any]:
     }
 
 
+def _render_line_rows(t: pa.Table, P: int) -> pa.Table:
+    """Shared exporter map stage: pre-render each turn's ``role: text`` line
+    vectorized and route by conv_id hash — ship only (route, conv, turn,
+    line) through the shuffle, never the full payload. Used by both
+    assemble_conversations and turn_context_windows so separator/null-role
+    policy stays in one place."""
+    from ..hashing import hash_strings
+
+    role = pc.fill_null(pc.cast(t.column("role"), pa.string()), "")
+    text = pc.fill_null(pc.cast(t.column("text"), pa.string()), "")
+    line = pc.binary_join_element_wise(role, text, ": ")
+    conv = t.column("conv_id")
+    h = hash_strings(conv)
+    return pa.table(
+        {
+            "_p": pa.array((h % np.uint64(P)).astype(np.int32)),
+            "conv_id": conv,
+            "turn_idx": t.column("turn_idx"),
+            "line": line,
+        }
+    )
+
+
 def assemble_conversations(
     ds: ray.data.Dataset, sep: str = "\n"
 ) -> ray.data.Dataset:
@@ -1255,26 +1337,10 @@ def assemble_conversations(
     re-unite in their hash bucket."""
     import pandas as pd
 
-    from ..hashing import hash_strings
-
     P = default_shuffle_blocks() * 4
 
     def line_rows(t: pa.Table) -> pa.Table:
-        # pre-render each turn's line vectorized; ship only (key, conv,
-        # turn, line) through the shuffle — never the full payload
-        role = pc.fill_null(pc.cast(t.column("role"), pa.string()), "")
-        text = pc.fill_null(pc.cast(t.column("text"), pa.string()), "")
-        line = pc.binary_join_element_wise(role, text, ": ")
-        conv = t.column("conv_id")
-        h = hash_strings(conv)
-        return pa.table(
-            {
-                "_p": pa.array((h % np.uint64(P)).astype(np.int32)),
-                "conv_id": conv,
-                "turn_idx": t.column("turn_idx"),
-                "line": line,
-            }
-        )
+        return _render_line_rows(t, P)
 
     def assemble(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
@@ -1309,24 +1375,10 @@ def turn_context_windows(
     per-conversation task)."""
     import pandas as pd
 
-    from ..hashing import hash_strings
-
     P = default_shuffle_blocks() * 4
 
     def line_rows(t: pa.Table) -> pa.Table:
-        role = pc.fill_null(pc.cast(t.column("role"), pa.string()), "")
-        text = pc.fill_null(pc.cast(t.column("text"), pa.string()), "")
-        line = pc.binary_join_element_wise(role, text, ": ")
-        conv = t.column("conv_id")
-        h = hash_strings(conv)
-        return pa.table(
-            {
-                "_p": pa.array((h % np.uint64(P)).astype(np.int32)),
-                "conv_id": conv,
-                "turn_idx": t.column("turn_idx"),
-                "line": line,
-            }
-        )
+        return _render_line_rows(t, P)
 
     def windows(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")

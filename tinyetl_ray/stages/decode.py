@@ -57,7 +57,12 @@ class DecodeValidate:
                     pc.is_valid(t.column("ts")),
                 ),
                 pc.and_kleene(
-                    pc.is_valid(t.column("conv_id")), pc.is_valid(t.column("turn_idx"))
+                    pc.is_valid(t.column("conv_id")),
+                    # non-null AND non-negative: turn_idx routes to a
+                    # floor-division turn block, and read_conversation
+                    # enumerates candidate blocks from 0 — a negative index
+                    # would commit fine but be invisible to the pruned read
+                    pc.greater_equal(t.column("turn_idx"), 0),
                 ),
             ),
         )

@@ -92,12 +92,3 @@ class PreReduce:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return lww_reduce(batch, keep_deletes=True)
-
-
-def merge_group(group: pa.Table) -> pa.Table:
-    """``groupby(partition_id).map_groups`` body: final LWW merge of one
-    partition's events (plus base-state rows encoded as lsn=-1 upserts),
-    returning the merged transcript payload sorted by key. partition_id is
-    retained so the COW sink can route the output file."""
-    merged = lww_reduce(group, keep_deletes=False)
-    return finalize_payload(merged)

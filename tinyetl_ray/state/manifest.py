@@ -71,6 +71,36 @@ def _atomic_write_bytes(path: str, data: bytes) -> None:
                 pass
 
 
+def _exclusive_write_bytes(path: str, data: bytes) -> bool:
+    """Atomically create ``path`` with ``data`` ONLY if it does not already
+    exist (hardlink publish — the POSIX-atomic create-if-absent). Returns
+    True on create. Returns False if the file already exists with EXACTLY
+    these bytes (an idempotent re-publish, e.g. our own crashed earlier
+    attempt); raises FileExistsError if it exists with DIFFERENT bytes
+    (a concurrent writer won the slot)."""
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".tmp-")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)  # fails with FileExistsError if taken
+            return True
+        except FileExistsError:
+            with open(path, "rb") as f:
+                if f.read() == data:
+                    return False
+            raise
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+
+
 # Fingerprint scheme version, recorded in every manifest row that carries a
 # content_hash. Bump whenever the digest formula changes (scheme 1 was the
 # round-3 key-only / view-IPC hash; scheme 2 is the all-columns, type-aware
@@ -442,7 +472,8 @@ def commit_epoch(
     extra: dict[str, Any] | None = None,
     expected_prev_epoch: int | None = None,
 ) -> dict[str, Any]:
-    """Driver-side atomic publish: the epoch exists once LATEST points at it.
+    """Driver-side atomic publish: the epoch exists once its JSON is
+    (exclusively) created; LATEST is a derived pointer readers can heal.
 
     ``schema`` is the evolved change schema at this epoch — stored in the
     commit so readers can align older, narrower snapshots (additive schema
@@ -452,6 +483,14 @@ def commit_epoch(
     the table's current LATEST still names that epoch (-1 = no commit yet);
     otherwise raise ConcurrentCommitError so the caller re-reads state and
     retries rather than silently clobbering another writer's commit.
+
+    The guard is enforced TWICE: a cheap early LATEST read (fast-fail with
+    a precise message), and — because check-then-act leaves a race window
+    where two writers both pass the read — an EXCLUSIVE hardlink create of
+    the epoch JSON itself, so at most one writer can ever own an epoch
+    slot. A re-publish with byte-identical content (our own earlier attempt
+    that crashed between the JSON write and the LATEST update) is accepted
+    idempotently.
     """
     if expected_prev_epoch is not None:
         cur = latest_commit(root)
@@ -473,18 +512,45 @@ def commit_epoch(
         commit.update(extra)  # e.g. the pinned partitioner (num_partitions,
         # turn_block) — a table property once the first epoch commits
     cpath = os.path.join(root, COMMITS_DIR, f"epoch-{epoch:06d}.json")
-    _atomic_write_bytes(cpath, json.dumps(commit, indent=1).encode())
+    try:
+        _exclusive_write_bytes(cpath, json.dumps(commit, indent=1).encode())
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"epoch {epoch} was published by a concurrent writer between the "
+            f"optimistic check and this publish — re-read state and retry"
+        ) from None
     _atomic_write_bytes(os.path.join(root, COMMITS_DIR, LATEST), f"epoch-{epoch:06d}".encode())
     return commit
 
 
 def latest_commit(root: str) -> dict[str, Any] | None:
-    lpath = os.path.join(root, COMMITS_DIR, LATEST)
-    if not os.path.exists(lpath):
-        return None
-    with open(lpath) as f:
-        name = f.read().strip()
-    with open(os.path.join(root, COMMITS_DIR, f"{name}.json")) as f:
+    """The exclusively-created epoch JSON is the COMMIT POINT (its hardlink
+    publish is the atomic create-if-absent that decides OCC races); LATEST
+    is a derived pointer that can lag a writer that crashed between the two
+    writes. Readers heal the lag: follow LATEST, then advance while the
+    next sequential epoch JSON exists (epochs are prev+1 within a table)."""
+    cdir = os.path.join(root, COMMITS_DIR)
+    lpath = os.path.join(cdir, LATEST)
+    if os.path.exists(lpath):
+        with open(lpath) as f:
+            name = f.read().strip()
+        n = int(name.rsplit("-", 1)[1])
+    else:
+        # LATEST itself missing: the very first commit's crash window —
+        # fall back to scanning for published epoch JSONs
+        if not os.path.isdir(cdir):
+            return None
+        epochs = [
+            int(x[len("epoch-") : -len(".json")])
+            for x in os.listdir(cdir)
+            if x.startswith("epoch-") and x.endswith(".json")
+        ]
+        if not epochs:
+            return None
+        n = max(epochs)
+    while os.path.exists(os.path.join(cdir, f"epoch-{n + 1:06d}.json")):
+        n += 1
+    with open(os.path.join(cdir, f"epoch-{n:06d}.json")) as f:
         return json.load(f)
 
 
