@@ -605,10 +605,12 @@ def _oracle_sf_dir() -> str:
     return os.environ.get("TINYETL_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
-def _art_glob(name: str) -> str:
+def _art_glob(name: str, sf_dir: str | None = None) -> str:
     from tinyetl_ray.pipelines.corpus import oracle_art_dir
 
-    return os.path.join(oracle_art_dir(_oracle_sf_dir(), name), "*.parquet")
+    return os.path.join(
+        oracle_art_dir(sf_dir or _oracle_sf_dir(), name), "*.parquet"
+    )
 
 
 _ART_ATTEMPTED: set[str] = set()
@@ -663,21 +665,29 @@ def _ensure_oracle_artifacts(sf_dir: str) -> None:
     from tinyetl_ray.pipelines.corpus import oracle_art_dir
 
     marker = os.path.join(oracle_art_dir(sf_dir, ""), "_fingerprint")
+    marker_matches = False
     try:
-        if os.path.exists(marker) and open(marker).read() != fp:
-            # corpus changed under this sf basename: stale artifacts
-            import shutil
+        if os.path.exists(marker):
+            marker_matches = open(marker).read() == fp
+            if not marker_matches:
+                # corpus changed under this sf basename: stale artifacts
+                import shutil
 
-            shutil.rmtree(os.path.dirname(marker), ignore_errors=True)
+                shutil.rmtree(os.path.dirname(marker), ignore_errors=True)
     except OSError:
         pass
 
     t0 = time.monotonic()
     try:
-        if not glob.glob(_art_glob("simhash_sigs")):
+        # existing artifact files only count as current when the MARKER
+        # vouches for them: files without a matching marker may have been
+        # written by a prior process against a since-replaced corpus, and
+        # stamping the new fingerprint over them would validate artifacts
+        # this process never generated or checked
+        if not (marker_matches and glob.glob(_art_glob("simhash_sigs", sf_dir))):
             c.dedup_simhash(sf_dir)  # writes signatures eagerly
-        if time.monotonic() - t0 < _ART_BUDGET_SEC and not glob.glob(
-            _art_glob("lsh_edges")
+        if time.monotonic() - t0 < _ART_BUDGET_SEC and not (
+            marker_matches and glob.glob(_art_glob("lsh_edges", sf_dir))
         ):
             c.dedup_minhash(sf_dir).materialize()  # writes verified edges
         os.makedirs(os.path.dirname(marker), exist_ok=True)
@@ -1040,10 +1050,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quality_score": _quality_score_sql(),
         "token_count_by_lang": r"""
-            SELECT lang,
+            SELECT coalesce(lang, '') AS lang,
                    CAST(SUM(len(list_filter(regexp_split_to_array(text, '\s+'),
                                             x -> x != ''))) AS BIGINT) AS total_tokens
-            FROM documents GROUP BY lang
+            FROM documents GROUP BY coalesce(lang, '')
         """,
         # regex kept in lockstep with functions.text.BpeishTokenCount.PATTERN
         "bpe_token_count": r"""

@@ -421,3 +421,79 @@ def test_view_rebuilds_after_restore_reapply_coinciding_watermark(tmp_path):
     c = refresh_conv_stats(root, view)
     assert c["stats"]["partitions_rebuilt"] > 0, "view silently kept stale state"
     _assert_stats_match(view, [epochs[0], t1b])
+
+
+def test_view_drops_partitions_vanished_by_restore(tmp_path):
+    """cdc.restore to an epoch that PREDATES a partition's first write
+    publishes a base commit WITHOUT that partition — the refresh must drop
+    its partial, not carry the rolled-back rows forward forever."""
+    tiny = make_changes(n_events=30, n_convs=1, seed=5, n_epochs=1)[0]
+    wide = make_changes(n_events=2500, n_convs=40, seed=6, n_epochs=1)[0]
+    # re-lsn the wide epoch ABOVE the tiny one so it applies as epoch 1
+    import numpy as np
+
+    lsn0 = int(pa.compute.max(tiny.column("lsn")).as_py()) + 1
+    wide = wide.set_column(
+        wide.column_names.index("lsn"),
+        "lsn",
+        pa.array(np.arange(lsn0, lsn0 + len(wide), dtype=np.int64)),
+    )
+    p0, p1 = tmp_path / "e0.parquet", tmp_path / "e1.parquet"
+    pq.write_table(tiny, p0)
+    pq.write_table(wide, p1)
+    root, view = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.replay_commit(root, [[str(p0)]], num_partitions=8)
+    n_parts_e0 = len(mf.latest_commit(root)["partitions"])
+    cdc.replay_commit(root, [[str(p0)], [str(p1)]], num_partitions=8)
+    assert len(mf.latest_commit(root)["partitions"]) > n_parts_e0, (
+        "test needs epoch 1 to introduce NEW partitions"
+    )
+    refresh_conv_stats(root, view)
+    cdc.restore(root, 0)
+    refresh_conv_stats(root, view)
+    got = _got_stats(view)
+    base = cdc.read_table(root).to_pandas()
+    assert set(got["conv_id"]) == set(base["conv_id"]), (
+        "view kept conversations from partitions the restore removed"
+    )
+    _assert_stats_match(view, [tiny])
+
+
+def test_read_view_empty_has_final_schema(tmp_path):
+    """A fully-empty view reads back 0 rows IN THE FINAL SCHEMA (same
+    column names and types as a non-empty read — e.g. last_ts as
+    timestamp, not the partial's last_ts_us int64)."""
+    epochs, files = _write_epochs(tmp_path, n_epochs=1, n_events=60)
+    # delete EVERY surviving turn
+    final = sequential_lww(pa.concat_tables(epochs))
+    n = len(final)
+    lsn0 = int(pa.compute.max(epochs[0].column("lsn")).as_py()) + 1
+    import numpy as np
+
+    deletes = pa.table(
+        {
+            "lsn": pa.array(np.arange(lsn0, lsn0 + n, dtype=np.int64)),
+            "op": ["delete"] * n,
+            "conv_id": pa.array(final["conv_id"].tolist(), pa.string()),
+            "turn_idx": pa.array(final["turn_idx"].tolist(), pa.int32()),
+            "role": [None] * n,
+            "text": [None] * n,
+            "tool": [None] * n,
+            # strictly NEWER than every upsert so the deletes win LWW
+            "ts": pa.array(
+                [int(final["ts"].max().value // 1000) + 1_000_000] * n,
+                pa.timestamp("us"),
+            ),
+        }
+    ).cast(CHANGE_SCHEMA)
+    pd_ = tmp_path / "deletes.parquet"
+    pq.write_table(deletes, pd_)
+    root, view = str(tmp_path / "t"), str(tmp_path / "v")
+    cdc.replay_commit(root, files + [[str(pd_)]], num_partitions=4)
+    cdc.compact(root, drop_tombstones=True)
+    refresh_conv_stats(root, view)
+    ds = read_conv_stats(view)
+    sch = ds.schema()
+    assert ds.count() == 0
+    assert sch.names == ["conv_id", "turns", "chars", "last_ts"]
+    assert "timestamp" in str(sch.types[sch.names.index("last_ts")])

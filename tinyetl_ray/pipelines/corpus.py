@@ -64,8 +64,12 @@ def token_count_by_lang(sf_dir: str) -> ray.data.Dataset:
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].fillna("").str.split().str.len()
+        # NULL lang normalizes to "" (same convention as stratified_sample /
+        # doc_length_quantiles and their COALESCE(lang,'') oracles): pandas
+        # groupby would otherwise silently DROP the NULL stratum (dropna
+        # default) while SQL GROUP BY keeps it
         return (
-            pd.DataFrame({"lang": df["lang"], "t": toks})
+            pd.DataFrame({"lang": df["lang"].fillna(""), "t": toks})
             .groupby("lang", as_index=False)["t"]
             .sum()
         )

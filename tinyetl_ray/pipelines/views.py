@@ -124,7 +124,9 @@ ROLE_STATS = ViewSpec(
 def _agg_input(t: pa.Table, a: ViewAgg) -> pa.Array:
     """Vectorized int64 input column for one aggregate over a batch."""
     if a.kind == "count":
-        return pa.array([1] * len(t), pa.int64())
+        import numpy as np
+
+        return pa.array(np.ones(len(t), dtype=np.int64))
     col = t.column(a.src)
     if a.kind == "sum_len":
         return pc.cast(pc.utf8_length(col), pa.int64())
@@ -296,8 +298,16 @@ def _refresh_view_once(
     rebuilt = {r["partition"] for r in new_rows}
     manifests = list(new_rows)
     if prev is not None:
+        # carry forward ONLY partials whose base partition still EXISTS in
+        # the current base commit: cdc.restore to an epoch that predates a
+        # partition's first write publishes a commit WITHOUT that partition,
+        # and keeping its partial would freeze the rolled-back rows into the
+        # view forever (views must follow rollbacks)
+        base_pids = {m["partition"] for m in base["partitions"]}
         manifests += [
-            dict(m) for m in prev["partitions"] if m["partition"] not in rebuilt
+            dict(m)
+            for m in prev["partitions"]
+            if m["partition"] not in rebuilt and m["partition"] in base_pids
         ]
     return mf.commit_epoch(
         view_root,
@@ -321,9 +331,10 @@ def read_view(view_root: str, spec: ViewSpec) -> ray.data.Dataset:
     (only turn-range-salted hot conversations span base partitions).
 
     A fully-empty view (every surviving base row deleted) yields a 0-row
-    dataset; note Ray Data drops empty blocks, so ``to_pandas()`` on that
-    result has no columns — callers needing the schema of an empty result
-    should consult ``spec.partial_schema()``."""
+    dataset IN THE SAME FINAL SCHEMA as a non-empty read (same column
+    names, timestamp columns already cast) so empty↔non-empty transitions
+    never change the contract; note Ray Data drops empty blocks, so
+    ``to_pandas()`` on that result has no columns."""
     from ray.data.aggregate import Max, Min, Sum
 
     commit = mf.latest_commit(view_root)
@@ -334,15 +345,6 @@ def read_view(view_root: str, spec: ViewSpec) -> ray.data.Dataset:
             f"view root {view_root} holds view {commit.get('view')!r}, "
             f"not {spec.name!r}"
         )
-    files = mf.snapshot_files(view_root, commit)
-    if not files:
-        return ray.data.from_arrow(spec.partial_schema().empty_table())
-    ds = ray.data.read_parquet(files)
-    ray_aggs = []
-    for a in spec.aggs:
-        cls = {"sum": Sum, "max": Max, "min": Min}[_COMBINE[a.kind]]
-        ray_aggs.append(cls(a.name, alias_name=a.name))
-    agg = ds.groupby(spec.key).aggregate(*ray_aggs)
 
     def _final(t: pa.Table, sp: ViewSpec = spec) -> pa.Table:
         cols: dict[str, Any] = {sp.key: t.column(sp.key)}
@@ -355,6 +357,18 @@ def read_view(view_root: str, spec: ViewSpec) -> ray.data.Dataset:
             cols[name] = col
         return pa.table(cols)
 
+    files = mf.snapshot_files(view_root, commit)
+    if not files:
+        # empty view: same FINAL schema as the non-empty path (the partial
+        # and aggregated shapes share column names, so finalizing an empty
+        # partial-shaped table yields exactly the public schema)
+        return ray.data.from_arrow(_final(spec.partial_schema().empty_table()))
+    ds = ray.data.read_parquet(files)
+    ray_aggs = []
+    for a in spec.aggs:
+        cls = {"sum": Sum, "max": Max, "min": Min}[_COMBINE[a.kind]]
+        ray_aggs.append(cls(a.name, alias_name=a.name))
+    agg = ds.groupby(spec.key).aggregate(*ray_aggs)
     return agg.map_batches(_final, batch_format="pyarrow")
 
 
