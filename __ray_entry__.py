@@ -667,32 +667,35 @@ def _ensure_oracle_artifacts(sf_dir: str) -> None:
     marker = os.path.join(oracle_art_dir(sf_dir, ""), "_fingerprint")
     marker_matches = False
     try:
-        if os.path.exists(marker):
-            marker_matches = open(marker).read() == fp
-            if not marker_matches:
-                # corpus changed under this sf basename: stale artifacts
-                import shutil
-
-                shutil.rmtree(os.path.dirname(marker), ignore_errors=True)
+        marker_matches = os.path.exists(marker) and open(marker).read() == fp
     except OSError:
         pass
+    if not marker_matches:
+        # existing artifact files only count as current when the MARKER
+        # vouches for them: an absent or mismatched marker means whatever
+        # files exist were left by a prior process that crashed mid-write
+        # or ran against a since-replaced corpus under this sf basename —
+        # wipe and regenerate rather than trust them
+        import shutil
+
+        shutil.rmtree(os.path.dirname(marker), ignore_errors=True)
 
     t0 = time.monotonic()
     try:
-        # existing artifact files only count as current when the MARKER
-        # vouches for them: files without a matching marker may have been
-        # written by a prior process against a since-replaced corpus, and
-        # stamping the new fingerprint over them would validate artifacts
-        # this process never generated or checked
-        if not (marker_matches and glob.glob(_art_glob("simhash_sigs", sf_dir))):
+        if not glob.glob(_art_glob("simhash_sigs", sf_dir)):
             c.dedup_simhash(sf_dir)  # writes signatures eagerly
-        if time.monotonic() - t0 < _ART_BUDGET_SEC and not (
-            marker_matches and glob.glob(_art_glob("lsh_edges", sf_dir))
-        ):
+        edges_current = bool(glob.glob(_art_glob("lsh_edges", sf_dir)))
+        if not edges_current and time.monotonic() - t0 < _ART_BUDGET_SEC:
             c.dedup_minhash(sf_dir).materialize()  # writes verified edges
-        os.makedirs(os.path.dirname(marker), exist_ok=True)
-        with open(marker, "w") as f:
-            f.write(fp)
+            edges_current = True
+        if edges_current:
+            # the marker vouches for a COMPLETE artifact set: when the
+            # edges step was skipped on time budget, leave the tree
+            # unstamped so the next process regenerates instead of
+            # trusting files nobody generated-or-checked this pass
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w") as f:
+                f.write(fp)
     except Exception:
         pass  # artifact generation is best-effort; queries also write them
 

@@ -250,3 +250,84 @@ def test_compact_all_tombstone_partition_unreferences_file(tmp_path):
     assert r["ok"] and not r["orphans"], r
     got = cdc.read_table(root).to_pandas()
     assert list(got["conv_id"]) == [b]
+
+
+# ---------------------------------------------------------------------------
+# oracle-artifact fingerprint marker: vouches only for COMPLETE sets
+# ---------------------------------------------------------------------------
+
+
+def _art_stubs(monkeypatch, tmp_path, calls):
+    """Patch ORACLE_ART into tmp and replace the two artifact producers
+    with recorders that write one parquet file each."""
+    from tinyetl_ray.pipelines import corpus
+
+    monkeypatch.setattr(corpus, "ORACLE_ART", str(tmp_path / "art"))
+
+    def fake_parquet(name):
+        d = corpus.oracle_art_dir(str(tmp_path / "sfX"), name)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(pa.table({"x": [1]}), os.path.join(d, "part-0.parquet"))
+
+    def fake_simhash(sf_dir):
+        calls.append("simhash")
+        fake_parquet("simhash_sigs")
+
+    class _FakeDs:
+        def materialize(self):
+            return self
+
+    def fake_minhash(sf_dir):
+        calls.append("minhash")
+        fake_parquet("lsh_edges")
+        return _FakeDs()
+
+    monkeypatch.setattr(corpus, "dedup_simhash", fake_simhash)
+    monkeypatch.setattr(corpus, "dedup_minhash", fake_minhash)
+
+
+def _ensure(monkeypatch, sf_dir, budget):
+    import __ray_entry__ as e
+
+    monkeypatch.setattr(e, "_ART_BUDGET_SEC", budget)
+    e._ART_ATTEMPTED.clear()  # simulate a fresh process
+    e._ensure_oracle_artifacts(sf_dir)
+
+
+def test_artifact_marker_not_written_when_budget_skips_edges(
+    tmp_path, monkeypatch
+):
+    """A time-budget skip of the lsh_edges step must leave the artifact
+    tree UNSTAMPED: a marker written then would vouch for edge files this
+    process never generated or checked, so a later process would trust
+    stale leftovers."""
+    from tinyetl_ray.pipelines import corpus
+
+    calls: list[str] = []
+    _art_stubs(monkeypatch, tmp_path, calls)
+    sf = tmp_path / "sfX"
+    sf.mkdir()
+    pq.write_table(pa.table({"doc_id": ["d"], "text": ["t"]}),
+                   sf / "documents.parquet")
+    marker = os.path.join(corpus.oracle_art_dir(str(sf), ""), "_fingerprint")
+
+    # negative budget: simhash runs, edges step is skipped -> no marker
+    _ensure(monkeypatch, str(sf), -1.0)
+    assert calls == ["simhash"] and not os.path.exists(marker)
+
+    # plant stale leftover edge files with NO marker (prior crash): the
+    # next full-budget pass must WIPE and regenerate both, then stamp
+    d = corpus.oracle_art_dir(str(sf), "lsh_edges")
+    os.makedirs(d, exist_ok=True)
+    stale = os.path.join(d, "stale.parquet")
+    pq.write_table(pa.table({"x": [99]}), stale)
+    calls.clear()
+    _ensure(monkeypatch, str(sf), 120.0)
+    assert calls == ["simhash", "minhash"], "untrusted leftovers not wiped"
+    assert not os.path.exists(stale)
+    assert os.path.exists(marker)
+
+    # marker now vouches: a fresh process regenerates nothing
+    calls.clear()
+    _ensure(monkeypatch, str(sf), 120.0)
+    assert calls == []
