@@ -927,7 +927,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
                    COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
                    CAST(COUNT(*) AS BIGINT) AS n_orders,
-                   ROUND(SUM(o_totalprice), 2) AS sum_price
+                   -- int64-cents sum (prices are exact 2-dp decimals):
+                   -- order-independent, bit-identical to the engine
+                   ROUND(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+                     AS sum_price
             FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         """,
         "unpivot_lineitem": """

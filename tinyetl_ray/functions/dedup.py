@@ -270,6 +270,14 @@ def _band_rows(
 ) -> pd.DataFrame:
     """Explode signatures to slim (band, band_hash, doc_id) rows — the ONLY
     thing the LSH shuffle moves."""
+    if not len(sig_df):  # np.stack needs >=1 array; empty block/corpus
+        return pd.DataFrame(
+            {
+                "band": pd.Series([], dtype="int32"),
+                "band_hash": pd.Series([], dtype="int64"),
+                "doc_id": pd.Series([], dtype="int64"),
+            }
+        )
     sigs = np.stack(sig_df["sig"].to_numpy())
     n = len(sig_df)
     out_band, out_hash, out_doc = [], [], []
@@ -314,8 +322,15 @@ def char_gram_hashes(text: str, k: int = 5) -> np.ndarray:
     """Sorted unique 64-bit hashes of the CHARACTER k-grams of ``text`` —
     codepoint windows (UTF-32 view), matching python ``s[i:i+k]`` slicing and
     SQL ``substr`` semantics for non-ASCII text (byte windows would not).
-    A doc shorter than k yields its single short gram, like ``s[0:k]``."""
-    cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    A doc shorter than k yields its single short gram, like ``s[0:k]``.
+
+    ``errors="ignore"``: a lone surrogate (possible only in strings built
+    in-process — parquet text is valid UTF-8 and cannot carry one) is
+    dropped rather than crashing the verify stage, matching the MinHash
+    shingle path's utf-8/ignore encoding."""
+    cps = np.frombuffer(
+        text.encode("utf-32-le", "ignore"), dtype=np.uint32
+    ).astype(np.uint64)
     if len(cps) < k:
         # pad with NUL (never in real text): one gram, equal iff texts equal
         cps = np.concatenate([cps, np.zeros(k - len(cps), np.uint64)])
@@ -630,25 +645,47 @@ def verify_jaccard_pairs(
             new_pair[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
         starts = np.nonzero(new_pair)[0]
         lens = np.diff(np.append(starts, m))
-        out_a, out_b, out_j = [], [], []
-        for s0, ln in zip(starts, lens):
-            if ln != 2:  # partner doc missing from `docs`
-                continue
-            i0, i1 = keep_idx[s0], keep_idx[s0 + 1]
-            ga = vals[offs[i0] : offs[i0 + 1]]
-            gb = vals[offs[i1] : offs[i1 + 1]]
-            inter = np.intersect1d(ga, gb, assume_unique=True).size
-            union = len(ga) + len(gb) - inter
-            out_a.append(a[s0])
-            out_b.append(b[s0])
-            out_j.append(1.0 if union == 0 else inter / union)
-        if not out_a:
+        good = starts[lens == 2]  # pairs whose BOTH docs arrived
+        if not len(good):
             return empty
-        raw = np.asarray(out_j, np.float64)
+        i0 = keep_idx[good]  # side-0 row per pair
+        i1 = keep_idx[good + 1]  # side-1 row per pair
+        # int64: ListArray offsets are int32 and the flattened per-pair gram
+        # stream can pass 2^31 entries in a degenerate partition
+        la = (offs[i0 + 1] - offs[i0]).astype(np.int64)
+        lb = (offs[i1 + 1] - offs[i1]).astype(np.int64)
+
+        # VECTORIZED intersection counts: per-doc gram lists are unique &
+        # sorted, so a (pair, gram) value occurs at most twice in the
+        # concatenated two-side stream — sort by (pair, gram) and count
+        # adjacent duplicates per pair. One lexsort over the partition's
+        # gram stream replaces a Python loop + intersect1d per pair (a
+        # degenerate exact-dup bucket emits ~m²/2 pairs; the loop was the
+        # straggler there).
+        def take_ranges(range_starts: np.ndarray, range_lens: np.ndarray) -> np.ndarray:
+            total = int(range_lens.sum())
+            if total == 0:
+                return np.empty(0, vals.dtype)
+            flat = np.repeat(range_starts, range_lens) + (
+                np.arange(total) - np.repeat(np.cumsum(range_lens) - range_lens, range_lens)
+            )
+            return vals[flat]
+
+        n_pairs = len(good)
+        pid = np.concatenate(
+            [np.repeat(np.arange(n_pairs), la), np.repeat(np.arange(n_pairs), lb)]
+        )
+        gv = np.concatenate([take_ranges(offs[i0], la), take_ranges(offs[i1], lb)])
+        order2 = np.lexsort((gv, pid))
+        pid_s, gv_s = pid[order2], gv[order2]
+        dup2 = (pid_s[1:] == pid_s[:-1]) & (gv_s[1:] == gv_s[:-1])
+        inter = np.bincount(pid_s[1:][dup2], minlength=n_pairs)
+        union = la + lb - inter
+        raw = np.where(union == 0, 1.0, inter / np.maximum(union, 1))
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
+                "a": pa.array(a[good], pa.int64()),
+                "b": pa.array(b[good], pa.int64()),
                 "jaccard": pa.array(np.round(raw, 6), pa.float64()),
                 "jaccard_raw": pa.array(raw, pa.float64()),
             }
@@ -750,12 +787,15 @@ def lsh_clusters_distributed(
     PROPAGATION expressed purely as Dataset unions + groupby — no
     driver-side union-find, no broadcast label map, no driver text.
 
-    Per iteration: every edge forwards its dst's current label to its src;
-    labels = min over (own label ∪ received). Near-dup clusters have tiny
-    diameter, so a handful of iterations reaches the fixpoint; iteration
-    stops early when the label sum is unchanged (labels only decrease, so
-    an unchanged sum IS the fixpoint). Shuffles move only (node, label) and
-    (src, dst) int pairs.
+    Per iteration: every edge forwards its dst's current label to its src,
+    and every node additionally receives label[label[i]] (pointer-jump /
+    shortcutting rows — hop distance ~doubles per round, so rounds ≈
+    log2(component diameter) instead of diameter); labels = min over (own
+    label ∪ received). The loop runs TO THE FIXPOINT — detected when the
+    label sum is unchanged (labels only decrease, so an unchanged sum IS
+    the fixpoint); ``max_iters`` only floors the far-out-of-reach bug-guard
+    cap, it can no longer silently split long-diameter components. Shuffles
+    move only (node, label) and (src, dst) int pairs.
 
     The per-iteration lookup (label[dst] for each edge) is expressed as a
     groupby-co-partitioned hash join — union the label rows and the edge
@@ -872,7 +912,15 @@ def lsh_clusters_distributed(
         )
 
     prev_sum: int | None = None
-    for _ in range(max_iters):
+    # termination: the label sum strictly decreases every non-fixpoint
+    # iteration (labels only shrink), so the loop ALWAYS reaches the
+    # fixpoint — a fixed iteration cap without a convergence check would
+    # silently SPLIT components whose diameter exceeds it. The
+    # pointer-jump rows below make the hop distance roughly double per
+    # round (shortcutting), so rounds ≈ log2(component diameter); the cap
+    # is only a bug-guard, far above log2 of any possible corpus.
+    hard_cap = max(max_iters, 64)
+    for it in range(hard_cap + 1):
         l_rows = labels.map_batches(
             lambda df: pd.DataFrame(
                 {
@@ -899,8 +947,29 @@ def lsh_clusters_distributed(
             ),
             batch_format="pandas",
         )
+
+        # POINTER-JUMP rows: the label table itself as extra edges
+        # (src=doc, dst=its current label), so node i also receives
+        # label[label[i]] this round — one-hop-per-round propagation alone
+        # needs diameter iterations on chain-shaped components
+        def _jump_rows(df: pd.DataFrame) -> pd.DataFrame:
+            doc = df["doc_id"].to_numpy(np.int64)
+            lab = df["label"].to_numpy(np.int64)
+            m = lab != doc  # self-labeled rows jump nowhere
+            doc, lab = doc[m], lab[m]
+            return pd.DataFrame(
+                {
+                    "key": lab,
+                    "_part": (lab.astype(np.uint64) % np.uint64(P)).astype(np.int32),
+                    "src": doc,
+                    "label": np.int64(-1),
+                }
+            )
+
+        j_rows = labels.map_batches(_jump_rows, batch_format="pandas")
         labels = (
             l_rows.union(e_rows)
+            .union(j_rows)
             .groupby("_part")
             .map_groups(_resolve_part, batch_format="pandas")
             .groupby("doc_id")
@@ -912,6 +981,12 @@ def lsh_clusters_distributed(
         if cur == prev_sum:
             break
         prev_sum = cur
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {hard_cap + 1} rounds — "
+            "impossible for any real component (shortcutting converges in "
+            "~log2(diameter)); this indicates a bug, not a data property"
+        )
     clustered = labels.map_batches(
         lambda df: df.rename(columns={"label": "cluster_id"}), batch_format="pandas"
     )
@@ -1003,17 +1078,27 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def simhash_pairs(
     ds: ray.data.Dataset, max_distance: int = 3, sigs_out: str | None = None
 ) -> ray.data.Dataset:
-    """Near-dup pairs by SimHash: band the 64-bit signature into 4 chunks of
-    16 bits (pigeonhole: distance ≤ 3 ⇒ at least one chunk identical, so the
-    banded candidate set provably contains EVERY pair within max_distance),
-    groupby chunk value for candidates, verify exact hamming distance,
-    dedupe across bands with a slim groupby — fully distributed, nothing on
-    the driver.
+    """Near-dup pairs by SimHash: band the 64-bit signature into
+    ``max(4, max_distance + 1)`` balanced chunks (pigeonhole: with c chunks
+    and ≤ max_distance differing bits, c ≥ max_distance + 1 chunks means at
+    least one chunk is identical, so the banded candidate set provably
+    contains EVERY pair within max_distance — for the default 3 this is the
+    classic 4×16-bit layout), groupby chunk value for candidates, verify
+    exact hamming distance, dedupe across bands with a slim groupby — fully
+    distributed, nothing on the driver.
 
     ``sigs_out``: optional parquet path for (doc_id, simhash) — the
     independent-oracle hook: DuckDB's bit_count(xor(a, b)) over the same
     signatures must reproduce the pair list exactly (banding is exact here,
     not probabilistic)."""
+    if not 0 <= max_distance < 64:
+        raise ValueError(f"max_distance must be in [0, 64), got {max_distance}")
+    # chunk layout: enough chunks for pigeonhole completeness at ANY
+    # max_distance (a fixed 4×16 layout silently DROPS qualifying pairs for
+    # max_distance ≥ 4 — no chunk need be equal when ≥1 bit differs in each)
+    n_chunks = max(4, max_distance + 1)
+    widths = [64 // n_chunks + (1 if j < 64 % n_chunks else 0) for j in range(n_chunks)]
+    offsets = np.concatenate([[0], np.cumsum(widths[:-1])]).astype(np.int64)
     P = _shuffle_blocks() * 4
     sigs = ds.map_batches(SimHasher, batch_format="pandas", concurrency=(2, 8), num_cpus=0.5)
     if sigs_out is not None:
@@ -1023,8 +1108,9 @@ def simhash_pairs(
     def chunk_rows(df: pd.DataFrame) -> pd.DataFrame:
         s = df["simhash"].to_numpy(dtype=np.int64).astype(np.uint64)
         parts = []
-        for c in range(4):
-            chunk = (s >> np.uint64(16 * c)) & np.uint64(0xFFFF)
+        for c in range(n_chunks):
+            chunk = (s >> np.uint64(offsets[c])) & np.uint64((1 << widths[c]) - 1)
+            # widths ≤ 16 bits (n_chunks ≥ 4), so the value packs under c<<16
             bucket = (np.int64(c) << np.int64(16)) | chunk.astype(np.int64)
             parts.append(
                 pd.DataFrame(
@@ -1041,22 +1127,29 @@ def simhash_pairs(
     def _sub_bucket_pairs(ids_seg, hs_seg, c, maxd):
         """Pairs within one giant (chunk c)-bucket, exactly: the members
         agree on chunk c, so a pair at hamming ≤ maxd differs only in the
-        other 48 bits; partition those 48 bits into maxd+1 sub-chunks and
-        by pigeonhole every qualifying pair has ≥1 sub-chunk identical —
-        mine runs per sub-chunk (each far smaller than the bucket), then
-        de-dup pairs found by several sub-chunks."""
-        other = [k for k in range(4) if k != c]
-        rem48 = np.zeros(len(hs_seg), np.uint64)
-        for pos, k in enumerate(other):
-            rem48 |= ((hs_seg >> np.uint64(16 * k)) & np.uint64(0xFFFF)) << np.uint64(
-                16 * pos
-            )
+        remaining 64 - widths[c] bits; partition those into maxd+1
+        sub-chunks and by pigeonhole every qualifying pair has ≥1 sub-chunk
+        identical — mine runs per sub-chunk (each far smaller than the
+        bucket), then de-dup pairs found by several sub-chunks."""
+        rem_bits = 64 - widths[c]
+        rem = np.zeros(len(hs_seg), np.uint64)
+        shift = 0
+        for k in range(n_chunks):
+            if k == c:
+                continue
+            rem |= (
+                (hs_seg >> np.uint64(offsets[k])) & np.uint64((1 << widths[k]) - 1)
+            ) << np.uint64(shift)
+            shift += widths[k]
         n_sub = maxd + 1
-        widths = [48 // n_sub + (1 if j < 48 % n_sub else 0) for j in range(n_sub)]
+        sub_widths = [
+            rem_bits // n_sub + (1 if j < rem_bits % n_sub else 0)
+            for j in range(n_sub)
+        ]
         pa_, pb_, pd_ = [], [], []
         shift = 0
-        for w in widths:
-            sub = (rem48 >> np.uint64(shift)) & np.uint64((1 << w) - 1)
+        for w in sub_widths:
+            sub = (rem >> np.uint64(shift)) & np.uint64((1 << w) - 1)
             shift += w
             order = np.argsort(sub, kind="stable")
             ss = sub[order]
@@ -1103,10 +1196,13 @@ def simhash_pairs(
         for s0, s1 in zip(bounds[:-1], bounds[1:]):
             if s1 - s0 < 2:
                 continue
-            if s1 - s0 > SIMHASH_SUB_BUCKET_THRESHOLD and 0 < maxd < 48:
-                sub = _sub_bucket_pairs(
-                    ids[s0:s1], hs[s0:s1], int(bk[s0]) >> 16, maxd
-                )
+            c_idx = int(bk[s0]) >> 16
+            # sub-split needs ≥1 bit per sub-chunk over the remaining bits
+            if (
+                s1 - s0 > SIMHASH_SUB_BUCKET_THRESHOLD
+                and 0 < maxd < 64 - widths[c_idx]
+            ):
+                sub = _sub_bucket_pairs(ids[s0:s1], hs[s0:s1], c_idx, maxd)
                 if sub is not None:
                     out_a.append(sub[0])
                     out_b.append(sub[1])
@@ -1176,6 +1272,16 @@ def rp_lsh_candidate_pairs(
         nonlocal planes
         from .simsearch import _emb_matrix, _normalize
 
+        if len(t) == 0:
+            # must not fall through: an empty FIRST batch would lazily size
+            # `planes` to dim 0 and poison every later batch in this worker
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                }
+            )
         vecs = _normalize(_emb_matrix(t, emb_col))
         if planes is None:
             r = np.random.RandomState(seed)
@@ -1409,7 +1515,16 @@ def embedding_neardup_pairs(
     (building the broadcast matrix inherently gathers all embeddings);
     embedding_neardup_lsh above is the 10^9-vector path.
     """
+    _empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
     all_df = ds.to_pandas()
+    if not len(all_df):  # np.stack needs >=1 array
+        return ray.data.from_arrow(_empty)
     ids_all = all_df[id_col].to_numpy()
     mat = np.stack(all_df["embedding"].to_numpy()).astype(np.float64)
     mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
@@ -1420,8 +1535,12 @@ def embedding_neardup_pairs(
             self.ids_all, self.mat = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return _empty
+            from .simsearch import _emb_matrix
+
             ids = t.column(id_col).to_numpy()
-            vecs = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+            vecs = _emb_matrix(t, "embedding")  # zero-copy, not to_pylist
             vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
             sims = vecs @ self.mat.T
             ri, ci = np.nonzero(sims > threshold)

@@ -26,6 +26,30 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
 
 
+def _local_topk_rows(
+    qids: np.ndarray, ids: np.ndarray, sims: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-query local top-k on ROUNDED sims, keeping ALL ties at the kth
+    value. The global rank orders by (rounded sim desc, vec_id asc) — a
+    local cut on raw floats (or one that drops boundary ties arbitrarily)
+    could evict a tied candidate with a smaller vec_id than a survivor,
+    making the output wrong vs the contract and block-layout-dependent.
+    Keeping every row tied with the kth rounded sim makes the local cut
+    exact for the global order; -inf-masked entries are dropped here."""
+    rs = np.round(sims, 6)
+    n = rs.shape[1]
+    if n == 0:
+        e = np.empty(0, np.int64)
+        return e, e, np.empty(0, np.float64)
+    kk = min(k, n)
+    # kth largest rounded sim per query row
+    th = -np.partition(-rs, kk - 1, axis=1)[:, kk - 1]
+    # isfinite: fully -inf-masked rows have th = -inf and would otherwise
+    # emit every masked entry just to drop it downstream
+    qi, ci = np.nonzero((rs >= th[:, None]) & np.isfinite(rs))
+    return qids[qi], ids[ci], rs[qi, ci]
+
+
 def _emb_matrix(t: pa.Table, col: str) -> np.ndarray:
     arr = t.column(col).combine_chunks()
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -57,19 +81,12 @@ def topk_cosine(
             ids = t.column(id_col).to_numpy()
             vecs = _normalize(_emb_matrix(t, emb_col))
             sims = self.q @ vecs.T  # (nq, nbatch)
-            # select a few extra candidates locally so raw-float ties at the
-            # k boundary can't diverge from the rounded global ranking
-            kk = min(k + 8, sims.shape[1])
-            # local top-k per query (argpartition = O(n))
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(self.qids, kk)
-            cand = ids[idx.ravel()]
-            s = np.take_along_axis(sims, idx, axis=1).ravel()
+            rows, cand, s = _local_topk_rows(self.qids, ids, sims, k)
             return pa.table(
                 {
                     "query_id": pa.array(rows, pa.int64()),
                     id_col: pa.array(cand, pa.int64()),
-                    "sim": pa.array(np.round(s, 6)),
+                    "sim": pa.array(s),
                 }
             )
 
@@ -115,12 +132,28 @@ def ivf_build(
     emb_col: str = "embedding",
     seed: int = 3,
 ) -> np.ndarray:
-    """Fit coarse centroids on a bounded sample (ray.data limit, not a full
-    materialization)."""
+    """Fit coarse centroids on a bounded REPRESENTATIVE sample: every block
+    contributes a deterministic evenly-strided slice of its rows. A plain
+    ``limit(sample_limit)`` would take the HEAD of the dataset — on input
+    written sorted/clustered by some key (the common partitioned layout) all
+    centroids then land inside the first cluster and IVF recall collapses
+    into one hot bucket. Stride sampling stays a streaming pass (no shuffle,
+    no full materialization)."""
+    n = ds.count()  # parquet: metadata-only
+    frac = min(1.0, sample_limit / max(1, n))
+
+    def strided(t: pa.Table) -> pa.Table:
+        m = max(1, int(round(len(t) * frac))) if len(t) else 0
+        if m >= len(t):
+            return t.select([emb_col])
+        idx = np.round(np.linspace(0, len(t) - 1, m)).astype(np.int64)
+        return t.select([emb_col]).take(pa.array(idx))
+
     sample_tbl = pa.concat_tables(
-        ds.limit(sample_limit).to_arrow_refs_resolved()
-        if hasattr(ds, "to_arrow_refs_resolved")
-        else [b for b in ds.limit(sample_limit).iter_batches(batch_format="pyarrow")]
+        ds.map_batches(strided, batch_format="pyarrow")
+        .limit(sample_limit)
+        .iter_batches(batch_format="pyarrow"),
+        promote_options="default",
     )
     return kmeans_fit(_emb_matrix(sample_tbl, emb_col), n_clusters, seed=seed)
 
@@ -216,17 +249,12 @@ def ivf_topk_store(
             for qi in range(len(self.qids)):
                 allowed[qi] = np.isin(buckets, self.probe[qi])
             sims = np.where(allowed, sims, -np.inf)
-            kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(self.qids, kk)
-            cand = ids[idx.ravel()]
-            s = np.take_along_axis(sims, idx, axis=1).ravel()
-            keep = np.isfinite(s)
+            rows, cand, s = _local_topk_rows(self.qids, ids, sims, k)
             return pa.table(
                 {
-                    "query_id": pa.array(rows[keep], pa.int64()),
-                    id_col: pa.array(cand[keep], pa.int64()),
-                    "sim": pa.array(np.round(s[keep], 6)),
+                    "query_id": pa.array(rows, pa.int64()),
+                    id_col: pa.array(cand, pa.int64()),
+                    "sim": pa.array(s),
                 }
             )
 
@@ -265,7 +293,11 @@ def ivf_topk(
     masking demonstrates the same pruning within batches.
     """
     q = _normalize(np.asarray(query_mat, dtype=np.float64))
-    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
+    # probe ranking must use the SAME normalized centroids as the bucket
+    # assignment below — raw centroids would bias probes toward large-norm
+    # centroids and can miss a query's true nearest bucket entirely
+    cent = _normalize(np.asarray(centroids, dtype=np.float64))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)
 
     class IVFTopK:
         def __init__(self, qids, q, cent, probe):
@@ -281,17 +313,12 @@ def ivf_topk(
             for qi in range(len(self.qids)):
                 allowed[qi] = np.isin(buckets, self.probe[qi])
             sims = np.where(allowed, sims, -np.inf)
-            kk = min(k, sims.shape[1])
-            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            rows = np.repeat(self.qids, kk)
-            cand = ids[idx.ravel()]
-            s = np.take_along_axis(sims, idx, axis=1).ravel()
-            keep = np.isfinite(s)
+            rows, cand, s = _local_topk_rows(self.qids, ids, sims, k)
             return pa.table(
                 {
-                    "query_id": pa.array(rows[keep], pa.int64()),
-                    id_col: pa.array(cand[keep], pa.int64()),
-                    "sim": pa.array(np.round(s[keep], 6)),
+                    "query_id": pa.array(rows, pa.int64()),
+                    id_col: pa.array(cand, pa.int64()),
+                    "sim": pa.array(s),
                 }
             )
 
@@ -301,7 +328,7 @@ def ivf_topk(
         fn_constructor_kwargs={
             "qids": np.asarray(query_ids),
             "q": q,
-            "cent": _normalize(centroids),
+            "cent": cent,
             "probe": probe,
         },
         concurrency=(2, 8),

@@ -176,9 +176,14 @@ def events_tumbling_window(sf_dir: str) -> ray.data.Dataset:
     from ray.data.aggregate import Count, Sum
 
     def add_window(t: pa.Table) -> pa.Table:
-        us = t.column("ts").cast(pa.int64())
-        win = pc.multiply(pc.divide(us, 3_600_000_000), 3_600_000_000)
-        t = t.append_column("window_start", win.cast(pa.timestamp("us")))
+        us = t.column("ts").cast(pa.int64()).to_numpy()
+        # numpy FLOOR division: pc.divide truncates toward zero, which puts
+        # a pre-epoch event in the window AFTER it — the hopping twin and
+        # the DuckDB oracle (`//`) both floor
+        win = (us // 3_600_000_000) * 3_600_000_000
+        t = t.append_column(
+            "window_start", pa.array(win).cast(pa.timestamp("us"))
+        )
         # the value column is exact 2-dp decimals: sum int64 CENTS so the
         # aggregate is order-independent and bit-identical to the oracle's
         # integer sum at ANY scale (float accumulation hit 4-dp rounding
@@ -940,15 +945,25 @@ def rollup_orders(sf_dir: str):
     import pandas as pd
     from ray.data.aggregate import Count, Sum
 
+    def to_cents(t):
+        # prices are exact 2-dp decimals: sum int64 CENTS so the aggregate
+        # is order-independent and bit-identical to the oracle at any scale
+        # (same convention as q1_lineitem / events_tumbling_window; a float
+        # sum over ~1e6-row cells drifts past the 2-dp rounding boundary
+        # and varies with block merge order)
+        cents = pc.round(pc.multiply(t.column("o_totalprice"), 100)).cast(pa.int64())
+        return t.drop_columns(["o_totalprice"]).append_column("_cents", cents)
+
     fine = (
         _read(
             sf_dir,
             "orders",
             columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
         )
+        .map_batches(to_cents, batch_format="pyarrow")
         .groupby(["o_orderstatus", "o_orderpriority"])
         .aggregate(
-            Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="sum_price")
+            Count(alias_name="n_orders"), Sum("_cents", alias_name="sum_price")
         )
         .to_pandas()  # small result: one row per (status, priority) cell
     )
@@ -966,7 +981,8 @@ def rollup_orders(sf_dir: str):
     )
     out = pd.concat([fine, l1, l0], ignore_index=True)
     out["n_orders"] = out["n_orders"].astype("int64")
-    out["sum_price"] = out["sum_price"].round(2)
+    # cents → currency at the very end (subtotals summed exactly as int64)
+    out["sum_price"] = (out["sum_price"].astype("int64") / 100).round(2)
     return out[["o_orderstatus", "o_orderpriority", "n_orders", "sum_price"]]
 
 
