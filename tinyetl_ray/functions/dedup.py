@@ -966,11 +966,20 @@ def lsh_clusters_distributed(
                 }
             )
 
-        j_rows = labels.map_batches(_jump_rows, batch_format="pandas")
+        # jump rows engage from iteration 2: at it=0 labels are all
+        # self-labels (the jump is provably a no-op) and the common
+        # small-diameter corpus (cliques/stars from in-bucket full pairs)
+        # reaches its fixpoint by it=1 — so the typical run pays ZERO jump
+        # overhead (measured ~20% of this loop's wall-time per A/B), while
+        # a long chain gets 2 one-hop rounds then doubling: rounds ≈
+        # 2 + log2(diameter/2)
+        streams = l_rows.union(e_rows)
+        if it >= 2:
+            streams = streams.union(
+                labels.map_batches(_jump_rows, batch_format="pandas")
+            )
         labels = (
-            l_rows.union(e_rows)
-            .union(j_rows)
-            .groupby("_part")
+            streams.groupby("_part")
             .map_groups(_resolve_part, batch_format="pandas")
             .groupby("doc_id")
             .aggregate(Min("label", alias_name="label"))
