@@ -359,18 +359,28 @@ def pack_sequences_ds(
     import pandas as pd
     from ray.data.aggregate import Sum
 
-    max_id = int(docs.max("doc_id"))
-    P = 16
-    width = max_id // P + 1
-
     def tokens(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["doc_id"].to_numpy(np.int64)
         # same token definition as functions.text.TextStats (whitespace
         # runs) — its SQL twin is already value-proven by the text_stats row
         nt = df["text"].fillna("").str.split().str.len().to_numpy(np.int64)
-        return pd.DataFrame({"doc_id": ids, "n_tokens": nt, "_rp": ids // width})
+        return pd.DataFrame({"doc_id": ids, "n_tokens": nt})
 
-    tok = docs.map_batches(tokens, batch_format="pandas")
+    # the expensive text-tokenize pass runs ONCE and is pinned as a slim
+    # 16-byte/row (doc_id, n_tokens) table — max_id, the pass-1 totals and
+    # the pass-2 assignment all re-read these blocks instead of re-running
+    # the tokenizer lineage (spillable; ~160 GB cluster-wide at 10^10 docs)
+    slim = docs.map_batches(tokens, batch_format="pandas").materialize()
+    max_id = int(slim.max("doc_id"))
+    P = 16
+    width = max_id // P + 1
+
+    def add_rp(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["_rp"] = df["doc_id"].to_numpy(np.int64) // width
+        return df
+
+    tok = slim.map_batches(add_rp, batch_format="pandas")
     # pass 1: one row per range partition → driver-side exclusive prefix sum
     # (P rows — trivially small at any corpus size as long as P is bounded)
     totals = tok.groupby("_rp").aggregate(Sum("n_tokens", alias_name="t")).to_pandas()
@@ -428,7 +438,9 @@ def shuffle_rank_ds(docs: ray.data.Dataset) -> ray.data.Dataset:
             {"doc_id": ids, "_key": h.astype(np.int64), "_rb": (h // span).astype(np.int64)}
         )
 
-    keyed = docs.map_batches(key, batch_format="pandas")
+    # pin the slim keyed table so the count pass and the rank pass don't
+    # each re-execute docs' upstream lineage (24 bytes/row, spillable)
+    keyed = docs.map_batches(key, batch_format="pandas").materialize()
     counts = keyed.groupby("_rb").aggregate(Count(alias_name="n")).to_pandas()
     per_range = np.zeros(P, np.int64)
     per_range[counts["_rb"].to_numpy(np.int64)] = counts["n"].to_numpy(np.int64)
@@ -661,13 +673,33 @@ def embedding_neardup_lsh(sf_dir: str):
 
 
 def _query_matrix(sf_dir: str, n: int = 5) -> tuple[np.ndarray, np.ndarray]:
+    """The n lowest-id query vectors WITHOUT reading the whole embeddings
+    table onto the driver: pass 1 streams only the 8-byte vec_id column
+    row-group-wise keeping a running n-smallest set; pass 2 is a
+    stats-pruned filtered read of just those rows. Driver memory is one
+    row group's id column — not the corpus (a full read would gather every
+    embedding, ~KB/row, for a 5-row lookup)."""
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = t.column("vec_id").to_numpy()
-    order = np.argsort(ids)[:n]
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    pf = pq.ParquetFile(path)
+    best: np.ndarray | None = None
+    for rg in range(pf.num_row_groups):
+        a = pf.read_row_group(rg, columns=["vec_id"]).column("vec_id").to_numpy()
+        cand = a if best is None else np.concatenate([best, a])
+        if len(cand) > n:
+            cand = np.partition(cand, n - 1)[:n]
+        best = cand
+    ids = np.sort(best if best is not None else np.empty(0, np.int64))
+    t = pq.read_table(
+        path,
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", [int(i) for i in ids])],
+    )
+    got = t.column("vec_id").to_numpy()
+    order = np.argsort(got)[:n]
     mat = np.stack(t.column("embedding").to_pylist())[order]
-    return mat.astype(np.float64), ids[order]
+    return mat.astype(np.float64), got[order]
 
 
 def ann_topk(sf_dir: str) -> ray.data.Dataset:

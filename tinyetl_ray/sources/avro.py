@@ -240,7 +240,21 @@ def decode_container(data: bytes) -> pa.Table:
         elif logical == "date":
             vals = [None if v is None else v * 86_400_000_000 for v in vals]
         elif logical == "json":
-            vals = [None if v is None else json.dumps(v, sort_keys=True) for v in vals]
+            # bytes can reach here (fixed fields, bytes inside multi-branch
+            # unions/arrays/maps) — Avro's own JSON encoding represents them
+            # as ISO-8859-1 strings; a bare dumps would raise TypeError
+            vals = [
+                None
+                if v is None
+                else json.dumps(
+                    v,
+                    sort_keys=True,
+                    default=lambda b: b.decode("latin-1")
+                    if isinstance(b, bytes)
+                    else str(b),
+                )
+                for v in vals
+            ]
         if pa.types.is_null(typ):
             arr = pa.nulls(len(vals))
         else:

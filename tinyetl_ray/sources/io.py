@@ -128,8 +128,22 @@ def count_written_rows(
     elif fmt in ("csv", "json", "jsonl"):
         header = 1 if fmt == "csv" else 0
         for f in files:
+            n = 0
+            in_q = False  # CSV: newlines inside quoted fields are data,
+            # not record separators — raw \n counting overcounts them.
+            # Quote-parity scan; escaped "" flips twice (a net no-op).
+            # (jsonl strings escape \n, so the plain count stays exact.)
             with open(f, "rb") as fh:
-                n = sum(chunk.count(b"\n") for chunk in iter(lambda: fh.read(1 << 20), b""))
+                for chunk in iter(lambda: fh.read(1 << 20), b""):
+                    if fmt == "csv" and b'"' in chunk:
+                        parts = chunk.split(b'"')
+                        for j, seg in enumerate(parts):
+                            outside = (not in_q) if j % 2 == 0 else in_q
+                            if outside:
+                                n += seg.count(b"\n")
+                        in_q ^= (len(parts) - 1) % 2 == 1
+                    elif not in_q:
+                        n += chunk.count(b"\n")
             total += max(0, n - header)
     elif fmt == "avro":
         from .avro import count_container_rows
@@ -266,10 +280,16 @@ class ApplyTypes:
     """Phase 2: apply one fixed column→type mapping uniformly to every batch
     (cast-or-null safety net; consensus means errors cannot occur)."""
 
-    def __init__(self, mapping: dict[str, str]):
+    def __init__(self, mapping: dict[str, str], column_order: list[str] | None = None):
         self.mapping = mapping
+        self.column_order = column_order
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        if self.column_order is not None:
+            # normalize every block to ONE canonical column order — part
+            # files are allowed to permute columns, but emitting blocks
+            # with differing schemas breaks downstream writers/consumers
+            df = df[self.column_order]
         out = {}
         for name in df.columns:
             ser = df[name]
@@ -328,4 +348,6 @@ def sniffed_read_csv(paths: str | list[str], **kwargs) -> ray.data.Dataset:
     convert = pacsv.ConvertOptions(column_types={h: pa.string() for h in header})
     ds = ray.data.read_csv(paths, convert_options=convert, **kwargs)
     mapping = sniff_column_types(ds, header)
-    return ds.map_batches(ApplyTypes(mapping), batch_format="pandas")
+    return ds.map_batches(
+        ApplyTypes(mapping, column_order=header), batch_format="pandas"
+    )

@@ -174,6 +174,20 @@ def _logical_type(dtype) -> str:
     return "string"
 
 
+def _logical_type_arrow(t) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t) or pa.types.is_date(t):
+        return "datetime"
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t) or pa.types.is_decimal(t):
+        return "float"
+    if pa.types.is_boolean(t):
+        return "bool"
+    return "string"
+
+
 def read_table(
     query: str, connection_factory: Callable, **kwargs
 ) -> ray.data.Dataset:
@@ -415,15 +429,24 @@ def create_table_sql(
     (mysql.rs:390); this engine is float64 end-to-end (the reference's own
     Arrow boundary, schema.rs:29) EXCEPT where a caller opts a money column
     into fixed-point fidelity here."""
+    import pyarrow as pa
+
     types = _DIALECT_TYPES.get(dialect, _DIALECT_TYPES["generic"])
+    if isinstance(df, pa.Schema):
+        # Arrow schema path: typing is declared, not sniffed — a NULL in
+        # a sampled first row cannot silently demote a numeric column to
+        # TEXT the way a pandas-dtype probe would.
+        items = [(f.name, _logical_type_arrow(f.type)) for f in df]
+    else:
+        items = [(str(n), _logical_type(d)) for n, d in df.dtypes.items()]
     cols = []
-    for name, dtype in df.dtypes.items():
-        _check_ident(str(name))
-        if decimal_cols and str(name) in decimal_cols:
-            p, s = decimal_cols[str(name)]
+    for name, lt in items:
+        _check_ident(name)
+        if decimal_cols and name in decimal_cols:
+            p, s = decimal_cols[name]
             cols.append(f"{name} DECIMAL({int(p)},{int(s)})")
         else:
-            cols.append(f"{name} {types[_logical_type(dtype)]}")
+            cols.append(f"{name} {types[lt]}")
     return f"CREATE TABLE IF NOT EXISTS {table} ({', '.join(cols)})"
 
 
@@ -449,22 +472,39 @@ def write_table(
     ``s`` digits (no float repr ever reaches the wire — cents stay exact).
     The driver must accept Decimal binds (server DBs do natively; sqlite3
     needs an adapter, e.g. ``sqlite3.register_adapter(Decimal, str)``)."""
+    import pyarrow as pa
+
     _check_ident(table)
     if max_bind_params is None:
         max_bind_params = _DIALECT_MAX_BIND_PARAMS.get(dialect, 900)
-    probe = ds.limit(1).to_pandas()
+    # DDL comes from the dataset's declared schema, not a sampled first
+    # row: a NULL in row 0 would type the column TEXT, and ds.limit(1)
+    # would execute the upstream (lazy) pipeline a second time.
+    sch = ds.schema()
+    names = list(sch.names)
+    try:
+        ddl_schema = pa.schema(list(zip(names, sch.types)))
+    except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+        ddl_schema = None  # non-Arrow block types: fall back to a probe
     with _closing(connection_factory()) as conn:
         style = _detect_paramstyle(conn)
         cur = conn.cursor()
-        cur.execute(create_table_sql(table, probe, dialect, decimal_cols))
+        cur.execute(
+            create_table_sql(
+                table,
+                ddl_schema if ddl_schema is not None else ds.limit(1).to_pandas(),
+                dialect,
+                decimal_cols,
+            )
+        )
         if truncate:
             cur.execute(f"DELETE FROM {table}")
         conn.commit()
 
-    ncols = max(1, len(probe.columns))
+    ncols = max(1, len(names))
     chunk_rows = max(1, max_bind_params // ncols)
     chunk_rows = min(chunk_rows, _DIALECT_MAX_ROWS_PER_INSERT.get(dialect, chunk_rows))
-    cols = [_check_ident(c) for c in probe.columns]
+    cols = [_check_ident(c) for c in names]
     placeholders = ",".join([_placeholder(style)] * ncols)
     insert = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders})"
 
@@ -486,9 +526,17 @@ def write_table(
             rows = list(df.itertuples(index=False, name=None))
             if dec_idx:
                 quant = {i: Decimal(1).scaleb(-s) for i, s in dec_idx.items()}
+
+                def _dec(v, q):
+                    # a nullable money column binds NULL as None —
+                    # Decimal(str(None)) raises InvalidOperation
+                    if v is None or pd.isna(v):
+                        return None
+                    return Decimal(str(v)).quantize(q)
+
                 rows = [
                     tuple(
-                        Decimal(str(v)).quantize(quant[i]) if i in quant else v
+                        _dec(v, quant[i]) if i in quant else v
                         for i, v in enumerate(r)
                     )
                     for r in rows

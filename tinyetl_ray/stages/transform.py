@@ -90,9 +90,18 @@ def _concat(parts):
 
 
 def _coalesce(xs):
+    # broadcast a scalar first argument over the batch index — a bare
+    # pd.Series(scalar) is length-1 and would index-align to row 0 only,
+    # silently NaN-ing every other row on assignment
+    idx = next((x.index for x in xs if isinstance(x, pd.Series)), None)
     out = xs[0]
     if not isinstance(out, pd.Series):
-        out = pd.Series(out)
+        if idx is None:  # pure-scalar call: first non-null wins
+            for x in xs:
+                if x is not None and x == x:
+                    return x
+            return None
+        out = pd.Series(out, index=idx)
     for x in xs[1:]:
         out = out.where(out.notna(), x)
     return out
@@ -107,11 +116,41 @@ def _iif(cond, a, b):
 _ASSIGN_RE = re.compile(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+?)\s*$")
 
 
+def _split_statements(spec: str) -> list[str]:
+    """Split on ``;`` / newline OUTSIDE string literals — expressions like
+    ``replace(name, ';', ',')`` legitimately contain the delimiters."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    i = 0
+    while i < len(spec):
+        c = spec[i]
+        if quote:
+            buf.append(c)
+            if c == "\\" and i + 1 < len(spec):
+                buf.append(spec[i + 1])
+                i += 2
+                continue
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+            buf.append(c)
+        elif c in ";\n":
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    stmts.append("".join(buf))
+    return stmts
+
+
 def parse_assignments(spec: str) -> list[tuple[str, str]]:
     """Parse ``"a = expr; b = expr"`` / newline-separated assignment lists
     (the reference's inline/script grammar, src/transformer.rs:176-189)."""
     out = []
-    for stmt in re.split(r"[;\n]", spec):
+    for stmt in _split_statements(spec):
         if not stmt.strip():
             continue
         m = _ASSIGN_RE.match(stmt)

@@ -110,12 +110,37 @@ class SchemaValidator:
                     try:
                         import pandas as pd
 
-                        ser = col.to_pandas()
-                        conv = pd.to_numeric(ser, errors="coerce") if typ in (
-                            pa.int64(), pa.float64()
-                        ) else ser
-                        mask = pa.array(conv.notna().to_numpy())
-                        safe = pa.array(conv, typ, from_pandas=True)
+                        if typ in (pa.int64(), pa.float64()):
+                            # vectorized numeric path
+                            conv = pd.to_numeric(col.to_pandas(), errors="coerce")
+                            mask = pa.array(conv.notna().to_numpy())
+                            safe = pa.array(conv, typ, from_pandas=True)
+                        else:
+                            # generic per-value salvage for every other
+                            # declared type (datetime/date/bool/decimal/...).
+                            # Cold path: only a failed whole-batch cast with
+                            # on_error="drop" reaches it — a blanket retry of
+                            # the batch cast here would re-raise on the one
+                            # bad value and null EVERY row.
+                            out: list = []
+                            good: list[bool] = []
+                            for v in col.to_pylist():
+                                try:
+                                    out.append(
+                                        pa.scalar(v, col.type).cast(typ).as_py()
+                                    )
+                                    good.append(v is not None)
+                                except (
+                                    pa.ArrowInvalid,
+                                    pa.ArrowNotImplementedError,
+                                    ValueError,
+                                    TypeError,
+                                    OverflowError,
+                                ):
+                                    out.append(None)
+                                    good.append(False)
+                            mask = pa.array(good)
+                            safe = pa.array(out, typ)
                     except Exception:
                         pass
                     ok = pc.and_(ok, pc.or_(mask, pa.array([spec.nullable] * n)))
