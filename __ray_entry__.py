@@ -643,10 +643,10 @@ def _ensure_oracle_artifacts(sf_dir: str) -> None:
     producers are fully deterministic and the artifact dirs are sf-keyed,
     so it does not matter which side writes first. Hardened (round-3
     verdict): once-per-process, fingerprint-cached on disk, and
-    time-bounded so a driver fetching oracle_sql() up front can never lose
-    more than _ART_BUDGET_SEC to generation."""
+    once-per-process so a driver fetching oracle_sql() repeatedly pays
+    generation at most once (regeneration itself runs to completion — a
+    partially-regenerated set is worse than a slow call)."""
     import glob
-    import time
 
     import ray
 
@@ -674,28 +674,38 @@ def _ensure_oracle_artifacts(sf_dir: str) -> None:
         # existing artifact files only count as current when the MARKER
         # vouches for them: an absent or mismatched marker means whatever
         # files exist were left by a prior process that crashed mid-write
-        # or ran against a since-replaced corpus under this sf basename —
-        # wipe and regenerate rather than trust them
+        # or ran against a since-replaced corpus under this sf basename.
+        # Wipe ONLY the two families this function owns — the ivf_store
+        # validates itself against its own _fingerprint.json, and a
+        # tree-wide wipe would destroy current artifacts that this
+        # process's engine queries just wrote (they never stamp the
+        # marker).
         import shutil
 
-        shutil.rmtree(os.path.dirname(marker), ignore_errors=True)
+        for sub in ("simhash_sigs", "lsh_edges"):
+            shutil.rmtree(
+                os.path.join(os.path.dirname(marker), sub), ignore_errors=True
+            )
+        try:
+            os.remove(marker)
+        except OSError:
+            pass
 
-    t0 = time.monotonic()
     try:
         if not glob.glob(_art_glob("simhash_sigs", sf_dir)):
             c.dedup_simhash(sf_dir)  # writes signatures eagerly
-        edges_current = bool(glob.glob(_art_glob("lsh_edges", sf_dir)))
-        if not edges_current and time.monotonic() - t0 < _ART_BUDGET_SEC:
+        if not glob.glob(_art_glob("lsh_edges", sf_dir)):
+            # NO time budget on this step: after the wipe above, skipping
+            # it would hand the dedup_minhash oracle a zero-file glob — a
+            # verification failure manufactured from a state where correct
+            # artifacts existed before this call. The once-per-process
+            # guard (_ART_ATTEMPTED) bounds total cost instead; sf0.01
+            # regeneration is well inside _ART_BUDGET_SEC anyway.
             c.dedup_minhash(sf_dir).materialize()  # writes verified edges
-            edges_current = True
-        if edges_current:
-            # the marker vouches for a COMPLETE artifact set: when the
-            # edges step was skipped on time budget, leave the tree
-            # unstamped so the next process regenerates instead of
-            # trusting files nobody generated-or-checked this pass
-            os.makedirs(os.path.dirname(marker), exist_ok=True)
-            with open(marker, "w") as f:
-                f.write(fp)
+        # the marker vouches for a COMPLETE artifact set
+        os.makedirs(os.path.dirname(marker), exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(fp)
     except Exception:
         pass  # artifact generation is best-effort; queries also write them
 

@@ -122,6 +122,12 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
             pq.write_table(t, os.path.join(wide_dir + ".tmp", f"chunk-{i:03d}.parquet"))
         os.replace(wide_dir + ".tmp", wide_dir)
     wide_files = sorted(glob.glob(os.path.join(wide_dir, "*.parquet")))
+    # the ACTUAL replayed event count from the footers — make_changes
+    # emits ~1% duplicate events beyond n_events, so reporting the
+    # requested count understated throughput and mislabeled BENCH rows
+    import pyarrow.parquet as _pq
+
+    n_wide_events = sum(_pq.ParquetFile(f).metadata.num_rows for f in wide_files)
 
     # TINYETL_BENCH_ONLY=headline skips everything but the wide replay —
     # used by the scaling legs so median-of-N pairs stays affordable
@@ -177,8 +183,8 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
                 "queries": queries,
                 "sf": sf_dir,
                 "num_cpus": num_cpus,
-                "n_change_events": n_events,
-                "events_per_sec": round(n_events / headline),
+                "n_change_events": n_wide_events,
+                "events_per_sec": round(n_wide_events / headline),
                 "final_rows": n_final,
                 "num_partitions": NUM_PARTITIONS,
             }
@@ -392,8 +398,8 @@ def run_once(sf_dir: str, num_cpus: int) -> dict:
         "queries": queries,
         "sf": sf_dir,
         "num_cpus": num_cpus,
-        "n_change_events": n_events,
-        "events_per_sec": round(n_events / headline),
+        "n_change_events": n_wide_events,
+        "events_per_sec": round(n_wide_events / headline),
         "final_rows": n_final,
         "num_partitions": NUM_PARTITIONS,
     }

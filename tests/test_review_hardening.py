@@ -294,13 +294,11 @@ def _ensure(monkeypatch, sf_dir, budget):
     e._ensure_oracle_artifacts(sf_dir)
 
 
-def test_artifact_marker_not_written_when_budget_skips_edges(
-    tmp_path, monkeypatch
-):
-    """A time-budget skip of the lsh_edges step must leave the artifact
-    tree UNSTAMPED: a marker written then would vouch for edge files this
-    process never generated or checked, so a later process would trust
-    stale leftovers."""
+def test_artifact_regeneration_runs_to_completion(tmp_path, monkeypatch):
+    """After the scoped wipe, BOTH artifact steps always run — a budget
+    skip used to strand the dedup_minhash oracle on a zero-file glob (a
+    manufactured failure); now an exhausted budget still regenerates the
+    full set and stamps the marker (round-5 review)."""
     from tinyetl_ray.pipelines import corpus
 
     calls: list[str] = []
@@ -311,12 +309,13 @@ def test_artifact_marker_not_written_when_budget_skips_edges(
                    sf / "documents.parquet")
     marker = os.path.join(corpus.oracle_art_dir(str(sf), ""), "_fingerprint")
 
-    # negative budget: simhash runs, edges step is skipped -> no marker
+    # even a negative (exhausted) budget regenerates the COMPLETE set
     _ensure(monkeypatch, str(sf), -1.0)
-    assert calls == ["simhash"] and not os.path.exists(marker)
+    assert calls == ["simhash", "minhash"] and os.path.exists(marker)
 
     # plant stale leftover edge files with NO marker (prior crash): the
-    # next full-budget pass must WIPE and regenerate both, then stamp
+    # next pass must WIPE and regenerate both, then stamp
+    os.remove(marker)
     d = corpus.oracle_art_dir(str(sf), "lsh_edges")
     os.makedirs(d, exist_ok=True)
     stale = os.path.join(d, "stale.parquet")

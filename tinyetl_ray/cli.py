@@ -99,7 +99,15 @@ def _mini_yaml(text: str):
             continue
         indent = len(line) - len(line.lstrip())
         s = line.strip()
-        while stack and indent <= stack[-1][0]:
+        # canonical YAML allows "- " items at the SAME indent as their
+        # parent key — don't pop the list for those
+        while stack and (
+            indent < stack[-1][0]
+            or (
+                indent == stack[-1][0]
+                and not (s.startswith("- ") and isinstance(stack[-1][1], list))
+            )
+        ):
             stack.pop()
             current_item = None
         container = stack[-1][1]
@@ -109,13 +117,13 @@ def _mini_yaml(text: str):
                 raise ValueError(f"unexpected list item: {line!r}")
             if ":" in body:
                 k, _, v = body.partition(":")
-                current_item = {k.strip(): _scalar(v.strip())}
+                current_item = {k.strip(): _scalar(_strip_comment(v.strip()))}
                 container.append(current_item)
             else:
-                container.append(_scalar(body))
+                container.append(_scalar(_strip_comment(body)))
         elif ":" in s:
             k, _, v = s.partition(":")
-            k, v = k.strip(), v.strip()
+            k, v = k.strip(), _strip_comment(v.strip())
             target = current_item if current_item is not None and indent > 0 else container
             if v == "":
                 # decide list vs dict lazily: peek handled by next lines; use
@@ -132,6 +140,20 @@ def _mini_yaml(text: str):
         else:
             raise ValueError(f"cannot parse line: {line!r}")
     return root
+
+
+def _strip_comment(v: str) -> str:
+    """Drop an inline ``  # comment`` (YAML: '#' preceded by whitespace or
+    at value start) — without this, ``truncate: false  # note`` parses as
+    the TRUTHY string ``'false  # note'``. Quoted values keep their '#'."""
+    if v.startswith(("'", '"')):
+        q = v[0]
+        end = v.find(q, 1)
+        return v[: end + 1] if end != -1 else v
+    if v.startswith("#"):
+        return ""
+    cut = v.find(" #")
+    return v[:cut].rstrip() if cut != -1 else v
 
 
 def _scalar(v: str):

@@ -61,9 +61,12 @@ class DeterministicFakeDecoder:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column("payload").combine_chunks()
+        # materialize each Arrow binary value to Python bytes ONCE — this
+        # is the hot large-payload path and a second .as_py() pass doubles
+        # the copy cost and peak transient allocation
+        bufs = [payloads[i].as_py() or b"" for i in range(len(payloads))]
         feats = []
-        for i in range(len(payloads)):
-            buf = payloads[i].as_py() or b""
+        for buf in bufs:
             arr = np.frombuffer(buf, dtype=np.uint8)
             hist = np.bincount(arr // (256 // self.bins), minlength=self.bins).astype(
                 np.float64
@@ -73,10 +76,7 @@ class DeterministicFakeDecoder:
             {
                 "media_id": t.column("media_id"),
                 "kind": t.column("kind"),
-                "n_bytes": pa.array(
-                    [len(payloads[i].as_py() or b"") for i in range(len(payloads))],
-                    pa.int64(),
-                ),
+                "n_bytes": pa.array([len(b) for b in bufs], pa.int64()),
                 "features": pa.array([f.tolist() for f in feats], pa.list_(pa.float64())),
             }
         )
@@ -161,7 +161,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
             pos += 1
         tokens.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
-    w, h, _maxval = tokens
+    w, h, maxval = tokens
+    if maxval != 255:
+        # 16-bit P6 (maxval 65535) carries 2 bytes/sample — reshaping the
+        # 8-bit read would be silent garbage; honest gate instead
+        raise NotImplementedError(
+            f"P6 maxval {maxval} unsupported (only 8-bit maxval 255)"
+        )
     return np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(
         h, w, 3
     )
@@ -363,9 +369,9 @@ class CodecDecoder:
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t.column("payload").combine_chunks()
+        bufs = [payloads[i].as_py() or b"" for i in range(len(payloads))]
         kinds, feats = [], []
-        for i in range(len(payloads)):
-            buf = payloads[i].as_py() or b""
+        for buf in bufs:
             try:
                 r = self._features(buf)
             except NotImplementedError:
@@ -382,10 +388,7 @@ class CodecDecoder:
             {
                 "media_id": t.column("media_id"),
                 "decoded_kind": pa.array(kinds, pa.string()),
-                "n_bytes": pa.array(
-                    [len(payloads[i].as_py() or b"") for i in range(len(payloads))],
-                    pa.int64(),
-                ),
+                "n_bytes": pa.array([len(b) for b in bufs], pa.int64()),
                 "features": pa.array(feats, pa.list_(pa.float64())),
             }
         )
@@ -434,7 +437,11 @@ def frame_sample(t: pa.Table, every: int = 32, frame: int = 16) -> pa.Table:
     out_id, out_idx, out_bytes = [], [], []
     for i in range(len(payloads)):
         buf = payloads[i].as_py() or b""
-        for fidx, start in enumerate(range(0, max(1, len(buf) - frame), every)):
+        # NO max(1,...) floor: payloads of <= frame bytes yield ZERO frames,
+        # matching the SQL oracle's (n_bytes-(frame+1))//every + 1 count —
+        # the floor emitted one short frame and broke the "every frame is a
+        # full `frame` bytes" contract
+        for fidx, start in enumerate(range(0, len(buf) - frame, every)):
             out_id.append(int(ids[i]))
             out_idx.append(fidx)
             out_bytes.append(buf[start : start + frame])

@@ -74,6 +74,13 @@ def evolve(base: pa.Schema, extra: pa.Schema) -> pa.Schema:
             continue  # an all-null column casts to any declared type
         if f.name in names:
             existing = base.field(f.name)
+            if pa.types.is_null(existing.type) and not pa.types.is_null(f.type):
+                # symmetric null exemption: a column that arrived all-null
+                # FIRST adopts the later epoch's declared type (the
+                # null-in-extra direction is handled above)
+                idx = base.get_field_index(f.name)
+                fields[idx] = pa.field(f.name, f.type, nullable=True)
+                continue
             if existing.type != f.type:
                 raise TypeError(
                     f"non-additive schema change for column {f.name!r}: "

@@ -42,6 +42,49 @@ _TYPE_REWRITES = [
     (re.compile(r"DOUBLE PRECISION", re.I), "REAL"),
 ]
 
+_CREATE_RE = re.compile(r"^(\s*CREATE TABLE[^(]*\()(.*)(\)\s*)$", re.I | re.S)
+_ALTER_ADD_RE = re.compile(r"^(.*\bADD(?:\s+COLUMN)?\s+\S+\s+)(.*)$", re.I | re.S)
+
+
+def _rewrite_ddl_types(sql: str) -> str:
+    """Rewrite dialect type names in TYPE position only — a bare word-bound
+    substitution would also rename a column NAMED ``datetime`` or ``bit``
+    (create_table_sql emits unquoted identifiers), breaking every
+    subsequent INSERT against the renamed column."""
+
+    def _types_only(coldef: str) -> str:
+        stripped = coldef.lstrip()
+        lead = coldef[: len(coldef) - len(stripped)]
+        name, sep, typ = stripped.partition(" ")
+        for pat, repl in _TYPE_REWRITES:
+            typ = pat.sub(repl, typ)
+        return lead + name + sep + typ
+
+    m = _CREATE_RE.match(sql)
+    if m:
+        head, body, tail = m.groups()
+        parts, cur, depth = [], [], 0
+        for ch in body:  # split on TOP-LEVEL commas only (DECIMAL(18,2))
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        parts.append("".join(cur))
+        return head + ",".join(_types_only(p) for p in parts) + tail
+    m = _ALTER_ADD_RE.match(sql)
+    if m:
+        head, typ = m.groups()
+        for pat, repl in _TYPE_REWRITES:
+            typ = pat.sub(repl, typ)
+        return head + typ
+    return sql
+
+
 _LOG_DDL = (
     "CREATE TABLE IF NOT EXISTS _fake_dbapi_log "
     "(sql TEXT, n_rows INTEGER, style TEXT)"
@@ -71,8 +114,7 @@ class FakeCursor:
         if self._conn.paramstyle in ("format", "pyformat"):
             sql = sql.replace("%s", "?")
         if sql.lstrip().upper().startswith(("CREATE TABLE", "ALTER TABLE")):
-            for pat, repl in _TYPE_REWRITES:
-                sql = pat.sub(repl, sql)
+            sql = _rewrite_ddl_types(sql)
         return sql
 
     def _log(self, sql: str, n_rows: int) -> None:
@@ -85,14 +127,16 @@ class FakeCursor:
         )
 
     def execute(self, sql: str, params=()):
-        self._log(sql, 1 if params else 0)
+        # log AFTER success — a raising statement must not appear in the
+        # protocol log as having reached the wire
         self._cur.execute(self._translate(sql), tuple(_adapt(p) for p in params))
+        self._log(sql, 1 if params else 0)
         return self
 
     def executemany(self, sql: str, rows):
         rows = [tuple(_adapt(v) for v in r) for r in rows]
-        self._log(sql, len(rows))
         self._cur.executemany(self._translate(sql), rows)
+        self._log(sql, len(rows))
         return self
 
     def fetchall(self):
