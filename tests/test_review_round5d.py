@@ -199,3 +199,93 @@ def test_artifact_wipe_preserves_ivf_store(tmp_path, ray_session):
     assert g.glob(os.path.join(oracle_art_dir(sf, "lsh_edges"), "*.parquet"))
     marker = os.path.join(oracle_art_dir(sf, ""), "_fingerprint")
     assert open(marker).read() == e._corpus_fingerprint(sf)
+
+
+# --- third-pass review: dedup/simsearch/text oracle-fidelity fixes -----------
+
+
+def test_round_half_away_matches_duckdb():
+    import duckdb
+
+    from tinyetl_ray.functions.dedup import round_half_away
+
+    vals = [65 / 128, -65 / 128, 3 / 256, 0.0, 1.0]
+    got = round_half_away(np.array(vals)).tolist()
+    # CAST AS DOUBLE: the oracle rounds float64 COLUMNS (a bare literal
+    # would be parsed as DECIMAL and rounded decimal-exact instead)
+    want = [
+        float(duckdb.sql(f"SELECT ROUND(CAST({v!r} AS DOUBLE), 6)").fetchone()[0])
+        for v in vals
+    ]
+    assert got == want  # np.round would give 0.507812 for 65/128
+
+
+def test_ngram_jaccard_null_text_never_pairs(ray_session):
+    import ray.data
+
+    from tinyetl_ray.functions.dedup import ngram_jaccard_pairs
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": [None, None, "", "", "abcdefghij", "abcdefghij"],
+        }
+    )
+    out = ngram_jaccard_pairs(
+        ray.data.from_pandas(df), threshold=0.5
+    ).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    # NULL docs (0,1) never pair — matches the SQL oracle where
+    # length(NULL) yields zero grams; empty-string docs (2,3) DO pair
+    # (both sides generate the single short gram), as do the twins (4,5)
+    assert pairs == {(2, 3), (4, 5)}
+
+
+def test_minhash_negative_doc_id_rejected(ray_session):
+    import ray.data
+
+    from tinyetl_ray.functions.dedup import lsh_candidate_pairs
+
+    df = pd.DataFrame({"doc_id": [-1, 2], "text": ["abcdef", "abcdef"]})
+    with pytest.raises(Exception, match="non-negative"):
+        lsh_candidate_pairs(ray.data.from_pandas(df)).materialize()
+
+
+def test_lsh_bands_validated():
+    import ray.data
+
+    from tinyetl_ray.functions.dedup import lsh_candidate_pairs
+
+    df = pd.DataFrame({"doc_id": [1], "text": ["abc"]})
+    with pytest.raises(ValueError, match="bands"):
+        lsh_candidate_pairs(ray.data.from_pandas(df), num_perm=128, bands=256)
+    with pytest.raises(ValueError, match="bands"):
+        lsh_candidate_pairs(ray.data.from_pandas(df), num_perm=128, bands=48)
+
+
+def test_ivf_build_empty_raises(ray_session):
+    import ray.data
+
+    from tinyetl_ray.functions.simsearch import ivf_build
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                      "embedding": pd.Series([], dtype="object")})
+    )
+    with pytest.raises(ValueError, match="empty"):
+        ivf_build(empty)
+
+
+def test_text_stats_ascii_whitespace_tokens():
+    from tinyetl_ray.functions.text import TextStats
+
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "a b"]})
+    out = TextStats()(df)
+    # NBSP is NOT a token separator under the oracle's ASCII \s — one token
+    assert out["n_tokens"].tolist() == [1, 2]
+
+
+def test_quality_score_ascii_words():
+    from tinyetl_ray.functions.text import QualityScore
+
+    assert QualityScore().word_re.findall("café über ok") == ["caf", "ber", "ok"]

@@ -29,6 +29,14 @@ import ray.data
 from ..hashing import hash_strings
 
 
+def round_half_away(a: np.ndarray, decimals: int = 6) -> np.ndarray:
+    """DuckDB-compatible ROUND: half away from zero. ``np.round`` is
+    half-to-EVEN and diverges from the SQL oracle on exactly-representable
+    ties (e.g. 65/128 = 0.5078125 → np 0.507812, SQL 0.507813)."""
+    scale = 10.0 ** decimals
+    return np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale
+
+
 def _shuffle_blocks() -> int:
     """Block count for slim intermediate tables between shuffle stages.
     groupby().map_groups() emits one tiny block per group; feeding those
@@ -245,8 +253,21 @@ class MinHasher:
         each of the num_perm universal hashes runs ONCE over the concatenated
         shingle array with a segmented min (np.minimum.reduceat) — the
         permutation loop is 128 vectorized passes over all docs at once, not
-        a Python loop per document."""
-        texts = df["text"].fillna("")
+        a Python loop per document.
+
+        NULL-text docs are EXCLUDED (no signature → never a candidate): the
+        SQL oracle's ``length(NULL)`` generates zero grams so NULL docs
+        never pair there; fillna('') would instead pair every NULL doc with
+        every empty doc at jaccard 1.0. Short non-null docs keep their
+        single padded gram (= the oracle's short ``substr`` gram)."""
+        df = df[df["text"].notna()]
+        ids = df["doc_id"].to_numpy(np.int64)
+        if len(ids) and ids.min() < 0:
+            raise ValueError(
+                "doc_id must be non-negative: negative ids collide with the "
+                "-1 label/edge sentinel used by the pair and cluster stages"
+            )
+        texts = df["text"]
         per_doc = [self.shingle_hashes(t) for t in texts]
         lens = np.array([len(x) for x in per_doc], dtype=np.int64)
         all_sh = (
@@ -350,8 +371,19 @@ class GramSigs:
         self.k = k
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        # NULL-text docs excluded, same contract as MinHasher (they are
+        # never candidates, so dropping them here only skips dead work)
+        t = t.filter(pc.is_valid(t.column("text")))
+        ids_np = pc.cast(t.column("doc_id"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(ids_np) and ids_np.min() < 0:
+            raise ValueError(
+                "doc_id must be non-negative: negative ids collide with the "
+                "-1 label/edge sentinel used by the pair and cluster stages"
+            )
         texts = t.column("text").to_pylist()
-        per = [char_gram_hashes(x or "", self.k) for x in texts]
+        per = [char_gram_hashes(x, self.k) for x in texts]
         lens = np.fromiter((len(p) for p in per), dtype=np.int64, count=len(per))
         offsets = np.zeros(len(per) + 1, dtype=np.int32)
         np.cumsum(lens, out=offsets[1:])
@@ -686,7 +718,7 @@ def verify_jaccard_pairs(
             {
                 "a": pa.array(a[good], pa.int64()),
                 "b": pa.array(b[good], pa.int64()),
-                "jaccard": pa.array(np.round(raw, 6), pa.float64()),
+                "jaccard": pa.array(round_half_away(raw), pa.float64()),
                 "jaccard_raw": pa.array(raw, pa.float64()),
             }
         )
@@ -712,6 +744,14 @@ def lsh_candidate_pairs(
     otherwise all in-bucket pairs (needed for complete pair listings).
     ``full_pair_cap`` (connectivity consumers only) degrades giant buckets
     to K-anchor edges — see FULL_PAIR_CAP."""
+    if bands <= 0 or bands > num_perm or num_perm % bands:
+        # bands > num_perm would give rows_per_band=0 (every doc in ONE
+        # constant bucket per band — an O(n²) all-pairs blowup), and a
+        # non-divisible split would silently discard trailing permutations
+        raise ValueError(
+            f"bands must divide num_perm with bands <= num_perm "
+            f"(got bands={bands}, num_perm={num_perm})"
+        )
     rows_per_band = num_perm // bands
     P = _shuffle_blocks() * 4
     sigs = ds.map_batches(
@@ -985,8 +1025,25 @@ def lsh_clusters_distributed(
             .aggregate(Min("label", alias_name="label"))
             .repartition(_shuffle_blocks())  # keep next iteration's task count flat
         ).materialize()  # bound the lineage per iteration
-        # labels only decrease → unchanged sum == fixpoint (cheap scalar agg)
-        cur = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        # labels only decrease → unchanged sum == fixpoint. The checksum is
+        # an EXACT arbitrary-precision sum: int64 hi/lo split per block
+        # (each half's per-block sum cannot wrap for any block under ~2^21
+        # rows of any non-negative ids), combined as Python ints on the
+        # driver — a raw int64 Sum could wrap and terminate early with
+        # split components when per-round decrease ≡ 0 mod 2^64.
+        def _psum(df: pd.DataFrame) -> pd.DataFrame:
+            a = df["label"].to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "hi": [int((a >> np.int64(32)).sum(dtype=np.int64))],
+                    "lo": [int((a & np.int64(0xFFFFFFFF)).sum(dtype=np.int64))],
+                }
+            )
+
+        parts = labels.map_batches(_psum, batch_format="pandas").to_pandas()
+        cur = (int(parts["hi"].astype(object).sum()) << 32) + int(
+            parts["lo"].astype(object).sum()
+        )
         if cur == prev_sum:
             break
         prev_sum = cur
@@ -1331,7 +1388,9 @@ def rp_lsh_candidate_pairs(
             batch_format="pandas",
         )
     )
-    return _dedup_pairs(pairs)
+    # coalesce the per-group mini-blocks like the MinHash twin does — the
+    # downstream cosine verify pays per-task overhead per block otherwise
+    return _dedup_pairs(pairs).repartition(_shuffle_blocks())
 
 
 def verify_cosine_pairs(
@@ -1475,7 +1534,7 @@ def verify_cosine_pairs(
             {
                 "id_a": pa.array(a[good], pa.int64()),
                 "id_b": pa.array(b[good], pa.int64()),
-                "sim": pa.array(np.round(raw, 6), pa.float64()),
+                "sim": pa.array(round_half_away(raw), pa.float64()),
                 "sim_raw": pa.array(raw, pa.float64()),
             }
         )
@@ -1559,7 +1618,7 @@ def embedding_neardup_pairs(
                 {
                     "id_a": pa.array(a[keep], pa.int64()),
                     "id_b": pa.array(b[keep], pa.int64()),
-                    "sim": pa.array(np.round(sims[ri, ci][keep], 6)),
+                    "sim": pa.array(round_half_away(sims[ri, ci][keep])),
                 }
             )
 

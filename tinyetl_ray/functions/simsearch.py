@@ -36,7 +36,12 @@ def _local_topk_rows(
     making the output wrong vs the contract and block-layout-dependent.
     Keeping every row tied with the kth rounded sim makes the local cut
     exact for the global order; -inf-masked entries are dropped here."""
-    rs = np.round(sims, 6)
+    from .dedup import round_half_away
+
+    # half-away rounding matches DuckDB ROUND (np.round is half-to-even
+    # and diverges on exactly-representable ties); -inf passes through
+    with np.errstate(invalid="ignore"):
+        rs = np.where(np.isfinite(sims), round_half_away(sims), sims)
     n = rs.shape[1]
     if n == 0:
         e = np.empty(0, np.int64)
@@ -140,6 +145,11 @@ def ivf_build(
     into one hot bucket. Stride sampling stays a streaming pass (no shuffle,
     no full materialization)."""
     n = ds.count()  # parquet: metadata-only
+    if n == 0:
+        # pa.concat_tables([]) below would raise a cryptic 'Must pass at
+        # least one table'; every other operator in this module handles
+        # the empty corpus gracefully, so fail with the real reason
+        raise ValueError("ivf_build: embeddings dataset is empty")
     frac = min(1.0, sample_limit / max(1, n))
 
     def strided(t: pa.Table) -> pa.Table:

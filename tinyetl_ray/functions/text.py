@@ -47,7 +47,10 @@ class TextStats:
         text = df["text"].fillna("")
         out = df.copy(deep=False)
         out["n_chars_computed"] = text.str.len().astype("int64")
-        out["n_tokens"] = text.str.split().str.len().astype("int64")
+        # ASCII \S+ runs, NOT str.split(): the oracle's RE2 '\s+' is
+        # ASCII-only, so Unicode whitespace (NBSP, U+3000) must count as
+        # token characters on both sides — identical on ASCII corpora
+        out["n_tokens"] = text.str.count(r"\S+", flags=re.ASCII).astype("int64")
         out["n_punct"] = text.str.count(self.punct).astype("int64")
         out["punct_ratio"] = out["n_punct"] / out["n_chars_computed"].clip(lower=1)
         return out
@@ -56,14 +59,18 @@ class TextStats:
 class QualityScore:
     """Heuristic quality scoring à la C4/Gopher filters: flags + composite.
 
-    Components: mean word length in [3, 12], stopword hit ratio >= min_stop,
-    not mostly punctuation, length bounds. Deterministic, unit-testable.
+    Components: mean word length in [2.0, 14.0], stopword hit ratio
+    >= min_stop, not mostly punctuation, length bounds. Deterministic,
+    unit-testable.
     """
 
     def __init__(self, lang_col: str = "lang", min_stop: float = 0.05):
         self.min_stop = min_stop
         self.lang_col = lang_col
-        self.word_re = re.compile(r"\w+", re.UNICODE)
+        # re.ASCII to stay in lockstep with the RE2-based oracle '\w+'
+        # (same reason BpeishTokenCount/RepetitionStats pin it): Unicode
+        # word chars would diverge on any non-ASCII doc
+        self.word_re = re.compile(r"\w+", re.ASCII)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         text = df["text"].fillna("")
