@@ -289,3 +289,60 @@ def test_quality_score_ascii_words():
     from tinyetl_ray.functions.text import QualityScore
 
     assert QualityScore().word_re.findall("café über ok") == ["caf", "ber", "ok"]
+
+
+# --- property tests pinning the third-pass fixes ------------------------------
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.sampled_from(list('ab,"\n x')), max_size=8
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+def test_csv_count_matches_csv_module(tmp_path_factory, rows):
+    """Quote-parity record counting == what csv.writer/csv.reader agree on,
+    for arbitrary content including embedded quotes/newlines/commas."""
+    import csv as _csv
+
+    from tinyetl_ray.sources.io import count_written_rows
+
+    d = tmp_path_factory.mktemp("csvprop")
+    p = str(d / "t.csv")
+    width = max((len(r) for r in rows), default=1)
+    norm = [r + [""] * (width - len(r)) for r in rows]
+    with open(p, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow([f"c{i}" for i in range(width)])
+        w.writerows(norm)
+    assert count_written_rows(p, "csv") == len(norm)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.floats(
+        min_value=-2.0, max_value=2.0, allow_nan=False, allow_infinity=False
+    )
+)
+def test_round_half_away_property(x):
+    import duckdb
+
+    from tinyetl_ray.functions.dedup import round_half_away
+
+    got = float(round_half_away(np.array([x]))[0])
+    want = float(
+        duckdb.sql(f"SELECT ROUND(CAST({x!r} AS DOUBLE), 6)").fetchone()[0]
+    )
+    assert got == want
